@@ -1,0 +1,156 @@
+"""Pose-only optimization (motion-only BA).
+
+Replaces `Optimizer::PoseOptimization` (`/root/reference/src/Optimizer.cc:
+907-1180`): 4 outer rounds x 10 LM iterations, re-classifying outliers by
+chi-squared between rounds (`Optimizer.cc:1141`), Huber kernel, per-octave
+information, mono (2-DoF) and stereo (3-DoF, u/v/u_right) residuals.
+
+State: Tcw = (R, t) world->camera. Updates are LEFT-multiplicative
+(g2o `VertexSE3Expmap` convention): Tcw <- Exp([rho, phi]) * Tcw, so the
+Jacobian of a camera point Xc w.r.t. [rho, phi] is [I | -hat(Xc)].
+
+Everything is fixed-shape over a padded observation array; the whole
+4x10 schedule compiles to one XLA program per (N, camera-model) pair.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.ops import cameras as cam
+from orbslam3_tpu.ops import lie
+from orbslam3_tpu.optim import lm
+
+
+class PoseObs(NamedTuple):
+    """Padded observation set for one frame."""
+
+    Xw: jnp.ndarray  # (N,3) map-point world positions
+    uv: jnp.ndarray  # (N,2) measured pixels
+    ur: jnp.ndarray  # (N,) right-cam u (stereo); <0 => mono observation
+    sigma2: jnp.ndarray  # (N,) per-octave variance (scale^2)
+    valid: jnp.ndarray  # (N,) bool
+
+
+class PoseResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inlier: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray  # int32
+    chi2: jnp.ndarray  # (N,) final per-obs chi2
+
+
+def _residuals(model, params, bf, R, t, obs: PoseObs):
+    """e (N,3), J (N,3,6), with stereo row masked for mono obs."""
+    Xc = lie.se3_apply(R, t, obs.Xw)
+    uv_hat = cam.project(model, params, Xc)
+    z = Xc[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    is_stereo = obs.ur >= 0.0
+    ur_hat = uv_hat[..., 0] - bf * inv_z
+    e = jnp.concatenate(
+        [uv_hat - obs.uv, jnp.where(is_stereo, ur_hat - obs.ur, 0.0)[..., None]],
+        axis=-1,
+    )
+    # d(uv)/dXc (2,3); stereo row: d(ur)/dXc = d(u)/dXc + bf/z^2 * dz/dXc
+    Jproj = cam.project_jac(model, params, Xc)  # (N,2,3)
+    dz = jnp.zeros_like(Jproj[:, 0, :]).at[:, 2].set(1.0)
+    Jur = Jproj[:, 0, :] + (bf * inv_z * inv_z)[:, None] * dz
+    Jur = jnp.where(is_stereo[:, None], Jur, 0.0)
+    Jc3 = jnp.concatenate([Jproj, Jur[:, None, :]], axis=1)  # (N,3,3)
+    # dXc/d[rho,phi] = [I | -hat(Xc)]
+    dXc = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), Xc.shape + (3,)), -lie.hat(Xc)],
+        axis=-1,
+    )  # (N,3,6)
+    J = jnp.einsum("nij,njk->nik", Jc3, dXc)  # (N,3,6)
+    # Points behind the camera cannot constrain the pose.
+    ok = obs.valid & (z > 1e-3)
+    return e, J, ok, is_stereo
+
+
+def _chi2(e, obs: PoseObs, is_stereo):
+    inv_s2 = 1.0 / obs.sigma2
+    c2 = jnp.sum(e * e, axis=-1) * inv_s2
+    return c2, inv_s2
+
+
+def optimize_pose(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    obs: PoseObs,
+    bf: float = 0.0,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+) -> PoseResult:
+    """The 4x10 schedule of `Optimizer.cc:907` with chi2 re-gating."""
+
+    huber2_mono = lm.CHI2_MONO
+    huber2_stereo = lm.CHI2_STEREO
+
+    def gn_iteration(carry, _):
+        R, t, lamb, active = carry
+        e, J, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
+        ok = ok & active
+        c2, inv_s2 = _chi2(e, obs, is_stereo)
+        delta2 = jnp.where(is_stereo, huber2_stereo, huber2_mono)
+        w_rob = lm.huber_weight(c2, delta2)
+        w = jnp.where(ok, inv_s2 * w_rob, 0.0)
+        # H = sum J^T w J (6,6); b = sum J^T w e
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J)
+        b = jnp.einsum("nij,ni->j", Jw, e)
+        H_damped = H + lamb * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+        delta = -jnp.linalg.solve(H_damped, b)
+        R_new_, t_new_ = lie.exp_se3(delta)
+        R_new, t_new = lie.se3_compose(R_new_, t_new_, R, t)
+        R_new = lie.normalize_rotation(R_new)
+        # Accept if robust cost decreases.
+        def cost(R_, t_):
+            e_, _, ok_, st_ = _residuals(model, params, bf, R_, t_, obs)
+            c2_, inv_ = _chi2(e_, obs, st_)
+            ok_ = ok_ & active
+            # Huber rho(chi2)
+            d2 = jnp.where(st_, huber2_stereo, huber2_mono)
+            rho = jnp.where(
+                c2_ <= d2, c2_, 2.0 * jnp.sqrt(d2 * jnp.maximum(c2_, 1e-12)) - d2
+            )
+            return jnp.sum(jnp.where(ok_, rho, 0.0))
+
+        c_old = cost(R, t)
+        c_new = cost(R_new, t_new)
+        accept = c_new < c_old
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        lamb = jnp.clip(jnp.where(accept, lamb * 0.5, lamb * 4.0), 1e-9, 1e6)
+        return (R, t, lamb, active), None
+
+    R, t = R0, t0
+    active = obs.valid
+    for _ in range(rounds):
+        (R, t, _, active), _ = jax.lax.scan(
+            gn_iteration,
+            (R, t, jnp.asarray(1e-4, R0.dtype), active),
+            None,
+            length=iters_per_round,
+        )
+        # Re-classify inliers against the *original* valid set, as the
+        # reference does each round (Optimizer.cc:1141: outliers can come
+        # back if their chi2 drops).
+        e, _, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
+        c2, _ = _chi2(e, obs, is_stereo)
+        gate = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
+        active = ok & (c2 <= gate)
+
+    e, _, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
+    c2, _ = _chi2(e, obs, is_stereo)
+    gate = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
+    inlier = ok & (c2 <= gate)
+    return PoseResult(
+        R=R, t=t, inlier=inlier, n_inliers=jnp.sum(inlier.astype(jnp.int32)), chi2=c2
+    )
