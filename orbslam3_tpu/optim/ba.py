@@ -1,0 +1,218 @@
+"""Bundle adjustment with implicit Schur complement — the core g2o
+replacement.
+
+Re-designs `Optimizer::BundleAdjustment` / `LocalBundleAdjustment`
+(`/root/reference/src/Optimizer.cc:78,1811`) and g2o's
+`BlockSolver`+Schur machinery (`Thirdparty/g2o/g2o/core/block_solver.hpp`)
+for TPU:
+
+* The problem is a fixed-shape batch: cameras ``[C]``, points ``[P]``,
+  observations ``[O]`` with validity masks — no graphs, no pointers.
+* ``Hcc`` is block-diagonal (each observation touches one camera), so the
+  reduced camera system ``S = Hcc - W Hpp^-1 W^T`` is applied
+  *matrix-free*: one PCG matvec is two gathers + two segment-sums + tiny
+  batched matmuls — exactly the shape XLA tiles well, and the layout that
+  distributes over a device mesh with a single ``psum`` (see
+  ``parallel/ba_sharded.py``).
+* Landmarks are eliminated with closed-form batched 3x3 inverses; robust
+  Huber weights and per-octave information are folded in by whitening.
+* LM damping with accept/reject runs as fixed-shape `lax` control flow.
+
+Fixed cameras (the reference's frontier KFs, `Optimizer.cc:1903-1944`)
+simply get their Jacobian columns zeroed and an identity row in `Hcc`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.ops import cameras as cam
+from orbslam3_tpu.ops import lie
+from orbslam3_tpu.optim import lm
+
+
+class BAProblem(NamedTuple):
+    cam_R: jnp.ndarray  # (C,3,3) Tcw rotations
+    cam_t: jnp.ndarray  # (C,3)
+    cam_fixed: jnp.ndarray  # (C,) bool
+    points: jnp.ndarray  # (P,3) world positions
+    point_valid: jnp.ndarray  # (P,) bool
+    obs_cam: jnp.ndarray  # (O,) int32
+    obs_point: jnp.ndarray  # (O,) int32
+    obs_uv: jnp.ndarray  # (O,2)
+    obs_ur: jnp.ndarray  # (O,) right-u; <0 => mono
+    obs_sigma2: jnp.ndarray  # (O,)
+    obs_valid: jnp.ndarray  # (O,) bool
+
+
+class BAResult(NamedTuple):
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    points: jnp.ndarray
+    obs_inlier: jnp.ndarray  # (O,) bool — chi2-gated at the final state
+    cost: jnp.ndarray
+
+
+def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active):
+    """Whitened residuals and Jacobians for every observation.
+
+    Returns e_w (O,3), Jc_w (O,3,6), Jp_w (O,3,3), chi2 (O,), ok (O,).
+    """
+    Rc = cam_R[prob.obs_cam]  # (O,3,3)
+    tc = cam_t[prob.obs_cam]
+    Xw = points[prob.obs_point]
+    Xc = lie.se3_apply(Rc, tc, Xw)
+    z = Xc[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    uv_hat = cam.project(model, params, Xc)
+    is_stereo = prob.obs_ur >= 0.0
+    ur_hat = uv_hat[..., 0] - bf * inv_z
+    e = jnp.concatenate(
+        [uv_hat - prob.obs_uv, jnp.where(is_stereo, ur_hat - prob.obs_ur, 0.0)[..., None]],
+        axis=-1,
+    )
+
+    Jproj = cam.project_jac(model, params, Xc)  # (O,2,3)
+    dz = jnp.zeros_like(Jproj[:, 0, :]).at[:, 2].set(1.0)
+    Jur = Jproj[:, 0, :] + (bf * inv_z * inv_z)[:, None] * dz
+    Jur = jnp.where(is_stereo[:, None], Jur, 0.0)
+    JXc = jnp.concatenate([Jproj, Jur[:, None, :]], axis=1)  # (O,3,3) d e / d Xc
+
+    # Camera: left-mult update on Tcw -> dXc/d[rho,phi] = [I | -hat(Xc)]
+    dXc_dcam = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape + (3,)), -lie.hat(Xc)],
+        axis=-1,
+    )  # (O,3,6)
+    Jc = jnp.einsum("oij,ojk->oik", JXc, dXc_dcam)
+    # Point: dXc/dXw = Rc
+    Jp = jnp.einsum("oij,ojk->oik", JXc, Rc)
+
+    ok = active & prob.obs_valid & (z > 1e-3) & prob.point_valid[prob.obs_point]
+    inv_s2 = 1.0 / prob.obs_sigma2
+    chi2 = jnp.sum(e * e, axis=-1) * inv_s2
+    delta2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
+    w = jnp.where(ok, inv_s2 * lm.huber_weight(chi2, delta2), 0.0)
+    # Fixed cameras contribute to points but not to camera updates.
+    cam_free = ~prob.cam_fixed[prob.obs_cam]
+    sw = jnp.sqrt(w)[:, None, None]
+    Jc_w = Jc * sw * cam_free[:, None, None]
+    Jp_w = Jp * sw
+    e_w = e * jnp.sqrt(w)[:, None]
+    return e_w, Jc_w, Jp_w, chi2, ok, is_stereo
+
+
+def _robust_cost(chi2, ok, is_stereo):
+    d2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
+    rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
+    return jnp.sum(jnp.where(ok, rho, 0.0))
+
+
+def solve_ba(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    prob: BAProblem,
+    bf: float = 0.0,
+    iters: int = 10,
+    pcg_iters: int = 50,
+    point_damping: float = 1e-6,
+    axis_name: str | None = None,
+) -> BAResult:
+    """LM bundle adjustment. `iters` ~ the reference's budgets
+    (5+10 local `Optimizer.cc:1990-2012`, 10 global, 20 at init).
+
+    `axis_name`: when called inside `shard_map` with the observation axis
+    sharded across a device mesh (cameras/points replicated), pass the
+    mesh axis name — every observation reduction becomes a local
+    segment-sum + one `psum` over ICI, which is the entire distributed-BA
+    communication pattern (SURVEY.md §5.8)."""
+    C = prob.cam_R.shape[0]
+    P = prob.points.shape[0]
+
+    def _allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def seg_cam(vals):  # (O_local,...) -> (C,...) replicated
+        return _allreduce(jax.ops.segment_sum(vals, prob.obs_cam, num_segments=C))
+
+    def seg_point(vals):  # (O_local,...) -> (P,...) replicated
+        return _allreduce(jax.ops.segment_sum(vals, prob.obs_point, num_segments=P))
+
+    eye6 = jnp.eye(6, dtype=prob.cam_R.dtype)
+    eye3 = jnp.eye(3, dtype=prob.cam_R.dtype)
+
+    def gn_step(state, lamb):
+        cam_R, cam_t, points = state
+        e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
+            model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+        )
+        # Block Hessians.
+        Hcc = seg_cam(jnp.einsum("oij,oik->ojk", Jc_w, Jc_w))  # (C,6,6)
+        bc = -seg_cam(jnp.einsum("oij,oi->oj", Jc_w, e_w))  # (C,6)
+        Hpp = seg_point(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w))  # (P,3,3)
+        bp = -seg_point(jnp.einsum("oij,oi->oj", Jp_w, e_w))  # (P,3)
+
+        # Damping + degeneracy guards.
+        Hcc = Hcc + (lamb * jnp.abs(Hcc) * jnp.eye(6)[None] + 1e-8 * eye6[None])
+        Hcc = jnp.where(prob.cam_fixed[:, None, None], eye6[None], Hcc)
+        Hpp = Hpp + (lamb * jnp.abs(Hpp) * jnp.eye(3)[None] + point_damping * eye3[None])
+        Hpp_inv = lm.inv3x3(Hpp)
+        Hcc_inv = jnp.linalg.inv(Hcc)  # block-Jacobi preconditioner
+
+        # Reduced RHS: b_red = bc - W Hpp^-1 bp.
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)  # (P,3)
+        v0 = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])  # (O,3)
+        b_red = bc - seg_cam(jnp.einsum("oij,oi->oj", Jc_w, v0))
+
+        def matvec(x):  # x: (C,6)
+            u = jnp.einsum("oij,oj->oi", Jc_w, x[prob.obs_cam])  # (O,3)
+            tp = seg_point(jnp.einsum("oij,oi->oj", Jp_w, u))  # (P,3)
+            y = jnp.einsum("pij,pj->pi", Hpp_inv, tp)
+            v = jnp.einsum("oij,oj->oi", Jp_w, y[prob.obs_point])  # (O,3)
+            z = seg_cam(jnp.einsum("oij,oi->oj", Jc_w, v))
+            Hx = jnp.einsum("cij,cj->ci", Hcc, x)
+            return Hx - z
+
+        def precond(r):
+            return jnp.einsum("cij,cj->ci", Hcc_inv, r)
+
+        dc = lm.pcg(matvec, b_red, precond, iters=pcg_iters).x  # (C,6)
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+
+        # Back-substitute points: dp = Hpp^-1 (bp - W^T dc).
+        u = jnp.einsum("oij,oj->oi", Jc_w, dc[prob.obs_cam])
+        tp = seg_point(jnp.einsum("oij,oi->oj", Jp_w, u))
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - tp)
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+
+        dR, dt = lie.exp_se3(dc)
+        R_new, t_new = lie.se3_compose(dR, dt, cam_R, cam_t)
+        R_new = lie.normalize_rotation(R_new)
+        R_new = jnp.where(prob.cam_fixed[:, None, None], cam_R, R_new)
+        t_new = jnp.where(prob.cam_fixed[:, None], cam_t, t_new)
+        return (R_new, t_new, points + dp)
+
+    def cost_fn(state):
+        cam_R, cam_t, points = state
+        _, _, _, chi2, ok, is_st = _linearize(
+            model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+        )
+        return _allreduce(_robust_cost(chi2, ok, is_st))
+
+    state, cost = lm.lm_loop(
+        (prob.cam_R, prob.cam_t, prob.points), cost_fn, gn_step, iters
+    )
+    cam_R, cam_t, points = state
+    _, _, _, chi2, ok, is_st = _linearize(
+        model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+    )
+    gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    inlier = ok & (chi2 <= gate)
+    return BAResult(cam_R=cam_R, cam_t=cam_t, points=points, obs_inlier=inlier, cost=cost)
+
+
+solve_ba_jit = jax.jit(
+    solve_ba, static_argnames=("model", "iters", "pcg_iters", "axis_name")
+)

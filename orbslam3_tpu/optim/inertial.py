@@ -1,0 +1,537 @@
+"""Visual-inertial optimization: IMU factors, inertial-only init, VI-BA.
+
+Re-designs the reference's inertial stack:
+
+* `EdgeInertial` 9-dof preintegration residual (`G2oTypes.cc:732-753`)
+* `EdgeGyroRW` / `EdgeAccRW` bias random-walk (`G2oTypes.h:633,669`)
+* `EdgePriorAcc/Gyro` (`G2oTypes.h:787,811`)
+* `InertialOptimization` — inertial-only MAP estimation of velocities,
+  one shared bias, gravity direction (2-dof) and scale with poses fixed
+  (`Optimizer.cc:5482`, used by `LocalMapping::InitializeIMU:1448`)
+* `LocalInertialBA` / `FullInertialBA` — visual + inertial joint BA
+  (`Optimizer.cc:4753,473`)
+
+State per keyframe is the 15-dof body state (R_wb, p_wb, v, bg, ba);
+updates follow the reference's body-frame convention
+(`ImuCamPose::Update`, `G2oTypes.cc:192`): R <- R Exp(dtheta),
+p <- p + R dp. All residual Jacobians come from vmapped forward-mode
+autodiff of the residual at zero perturbation — every factor type is a
+few lines, and XLA fuses the per-edge 9x30 jacobians into batched
+matmuls (no hand-derived 1,000-line Jacobian blocks as in G2oTypes.cc).
+
+Visual landmarks are Schur-eliminated exactly as in `optim.ba`; the IMU
+chain adds block-tridiagonal terms to the reduced system, applied
+matrix-free inside the same PCG.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.ops import cameras as cam
+from orbslam3_tpu.ops import imu as imu_ops
+from orbslam3_tpu.ops import lie
+from orbslam3_tpu.optim import lm
+
+G0 = jnp.asarray([0.0, 0.0, -imu_ops.GRAVITY_VALUE], jnp.float32)
+STATE_DIM = 15  # [theta(3), p(3), v(3), bg(3), ba(3)]
+
+
+class BodyState(NamedTuple):
+    R: jnp.ndarray  # (K,3,3) R_wb
+    p: jnp.ndarray  # (K,3) p_wb
+    v: jnp.ndarray  # (K,3) world velocity
+    bg: jnp.ndarray  # (K,3)
+    ba: jnp.ndarray  # (K,3)
+
+
+def retract(s: BodyState, dx: jnp.ndarray) -> BodyState:
+    """Apply per-KF 15-dof update (body-frame pose update)."""
+    dth, dp, dv, dbg, dba = (
+        dx[..., 0:3], dx[..., 3:6], dx[..., 6:9], dx[..., 9:12], dx[..., 12:15]
+    )
+    R = lie.normalize_rotation(s.R @ lie.exp_so3(dth))
+    p = s.p + jnp.einsum("...ij,...j->...i", s.R, dp)
+    return BodyState(R=R, p=p, v=s.v + dv, bg=s.bg + dbg, ba=s.ba + dba)
+
+
+class ImuEdge(NamedTuple):
+    """Preintegrated constraint between consecutive KFs i -> j."""
+
+    i: jnp.ndarray  # (E,) int32
+    j: jnp.ndarray  # (E,)
+    dR: jnp.ndarray  # (E,3,3)
+    dV: jnp.ndarray  # (E,3)
+    dP: jnp.ndarray  # (E,3)
+    JRg: jnp.ndarray  # (E,3,3)
+    JVg: jnp.ndarray
+    JVa: jnp.ndarray
+    JPg: jnp.ndarray
+    JPa: jnp.ndarray
+    bg0: jnp.ndarray  # (E,3) linearization bias
+    ba0: jnp.ndarray
+    dT: jnp.ndarray  # (E,)
+    info: jnp.ndarray  # (E,9,9) information of [r_R, r_v, r_p]
+    info_rw: jnp.ndarray  # (E,6,6) random-walk information [bg, ba]
+    valid: jnp.ndarray  # (E,)
+
+
+def make_imu_edges(i, j, preints: imu_ops.Preintegrated, valid) -> ImuEdge:
+    """Build edges from batched Preintegrated windows (leading dim E)."""
+    C = preints.C
+    info9 = jax.vmap(lambda c: jnp.linalg.inv(0.5 * (c + c.T) + 1e-10 * jnp.eye(9)))(
+        C[:, :9, :9]
+    )
+    info9 = 0.5 * (info9 + jnp.swapaxes(info9, -1, -2))
+    rw = C[:, 9:, 9:]
+    info_rw = jax.vmap(lambda c: jnp.linalg.inv(c + 1e-12 * jnp.eye(6)))(rw)
+    return ImuEdge(
+        i=i, j=j, dR=preints.dR, dV=preints.dV, dP=preints.dP,
+        JRg=preints.JRg, JVg=preints.JVg, JVa=preints.JVa,
+        JPg=preints.JPg, JPa=preints.JPa,
+        bg0=jnp.broadcast_to(preints.bias_gyro, preints.dV.shape),
+        ba0=jnp.broadcast_to(preints.bias_acc, preints.dV.shape),
+        dT=preints.dT, info=info9, info_rw=info_rw, valid=valid,
+    )
+
+
+def imu_residual(
+    Ri, pi, vi, bgi, bai, Rj, pj, vj,
+    e_dR, e_dV, e_dP, e_JRg, e_JVg, e_JVa, e_JPg, e_JPa, e_bg0, e_ba0, dt, g,
+):
+    """9-dof residual of one edge (ref `EdgeInertial::computeError`
+    `G2oTypes.cc:732`), evaluated with first-order bias correction."""
+    dbg = bgi - e_bg0
+    dba = bai - e_ba0
+    dR_corr = e_dR @ lie.exp_so3(e_JRg @ dbg)
+    dV_corr = e_dV + e_JVg @ dbg + e_JVa @ dba
+    dP_corr = e_dP + e_JPg @ dbg + e_JPa @ dba
+    r_R = lie.log_so3(dR_corr.T @ (Ri.T @ Rj))
+    r_v = Ri.T @ (vj - vi - g * dt) - dV_corr
+    r_p = Ri.T @ (pj - pi - vi * dt - 0.5 * g * dt * dt) - dP_corr
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+# ---------------------------------------------------------------------------
+# Inertial-only initialization (scale + gravity + bias + velocities)
+# ---------------------------------------------------------------------------
+
+
+class InertialInitResult(NamedTuple):
+    scale: jnp.ndarray
+    Rwg: jnp.ndarray  # (3,3) gravity direction
+    bg: jnp.ndarray  # (3,) shared gyro bias
+    ba: jnp.ndarray  # (3,)
+    vel: jnp.ndarray  # (K,3) per-KF world velocities (in the OLD frame)
+    cost: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def inertial_only_optimization(
+    R_wb: jnp.ndarray,  # (K,3,3) body rotations (FIXED)
+    p_wb: jnp.ndarray,  # (K,3) body positions (FIXED, unscaled)
+    kf_valid: jnp.ndarray,  # (K,)
+    edges: ImuEdge,
+    prior_gyro: float = 1e2,
+    prior_acc: float = 1e6,
+    iters: int = 20,
+    fix_scale: bool = False,
+) -> InertialInitResult:
+    """`Optimizer::InertialOptimization` (`Optimizer.cc:5482`): MAP over
+    {v_k, shared bg, shared ba, Rwg (2-dof), log-scale}; poses fixed
+    (EdgeInertialGS semantics: residual uses scaled positions
+    p' = s * p and gravity g = Rwg g0)."""
+    K = R_wb.shape[0]
+    dim = 3 * K + 3 + 3 + 2 + 1  # v, bg, ba, gdir, log_s
+
+    Ecnt = edges.i.shape[0]
+    w_valid = edges.valid & kf_valid[edges.i] & kf_valid[edges.j]
+
+    def unpack(x):
+        v = x[: 3 * K].reshape(K, 3)
+        bg = x[3 * K : 3 * K + 3]
+        ba = x[3 * K + 3 : 3 * K + 6]
+        gd = x[3 * K + 6 : 3 * K + 8]
+        log_s = x[3 * K + 8]
+        return v, bg, ba, gd, log_s
+
+    def residuals(x):
+        v, bg, ba, gd, log_s = unpack(x)
+        s = jnp.exp(log_s) if not fix_scale else jnp.asarray(1.0)
+        Rwg = lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
+        g = Rwg @ G0
+
+        def edge_res(k):
+            i, j = edges.i[k], edges.j[k]
+            r = imu_residual(
+                R_wb[i], s * p_wb[i], v[i], bg, ba,
+                R_wb[j], s * p_wb[j], v[j],
+                edges.dR[k], edges.dV[k], edges.dP[k],
+                edges.JRg[k], edges.JVg[k], edges.JVa[k],
+                edges.JPg[k], edges.JPa[k], edges.bg0[k], edges.ba0[k],
+                edges.dT[k], g,
+            )
+            # Whiten with the 9x9 information (Cholesky factor).
+            L = jnp.linalg.cholesky(edges.info[k])
+            return jnp.where(w_valid[k], L.T @ r, jnp.zeros(9))
+
+        r_edges = jax.vmap(edge_res)(jnp.arange(Ecnt)).reshape(-1)
+        r_prior = jnp.concatenate(
+            [jnp.sqrt(prior_gyro) * bg, jnp.sqrt(prior_acc) * ba]
+        )
+        return jnp.concatenate([r_edges, r_prior])
+
+    x0 = jnp.zeros(dim)
+
+    def step(x, lamb):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J
+        b = J.T @ r
+        H = H + lamb * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(dim)
+        return x - jnp.linalg.solve(H, b)
+
+    def cost(x):
+        r = residuals(x)
+        return jnp.sum(r * r)
+
+    x, c = lm.lm_loop((x0,), lambda p: cost(p[0]), lambda p, l: (step(p[0], l),), iters)
+    v, bg, ba, gd, log_s = unpack(x[0])
+    s = jnp.exp(log_s) if not fix_scale else jnp.asarray(1.0)
+    Rwg = lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
+    return InertialInitResult(scale=s, Rwg=Rwg, bg=bg, ba=ba, vel=v, cost=c)
+
+
+# ---------------------------------------------------------------------------
+# Visual-inertial bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+class VIProblem(NamedTuple):
+    state: BodyState  # (K,) body states
+    kf_fixed: jnp.ndarray  # (K,) bool — fixes the POSE only (the reference
+    # fixes VertexPose but leaves VertexVelocity/bias vertices free,
+    # `Optimizer.cc:FullInertialBA:500-520`); velocities and biases of
+    # fixed KFs remain estimated through the IMU chain.
+    Tcb_R: jnp.ndarray  # (3,3) camera<-body extrinsics
+    Tcb_t: jnp.ndarray  # (3,)
+    points: jnp.ndarray  # (P,3)
+    point_valid: jnp.ndarray  # (P,)
+    obs_cam: jnp.ndarray  # (O,) KF index
+    obs_point: jnp.ndarray  # (O,)
+    obs_uv: jnp.ndarray  # (O,2)
+    obs_sigma2: jnp.ndarray  # (O,)
+    obs_valid: jnp.ndarray  # (O,)
+    edges: ImuEdge
+
+
+class VIResult(NamedTuple):
+    state: BodyState
+    points: jnp.ndarray
+    cost: jnp.ndarray
+    obs_inlier: jnp.ndarray
+
+
+def _visual_res_jac(model, params, Tcb_R, Tcb_t, R, p, Xw, uv):
+    """Residual + Jacobians of one reprojection obs w.r.t. the 6-dof pose
+    perturbation [theta, dp] and the point. Tcw = Tcb * Tbw."""
+
+    def res(dx, dX):
+        Rb = R @ lie.exp_so3(dx[:3])
+        pb = p + R @ dx[3:6]
+        X = Xw + dX
+        Xb = Rb.T @ (X - pb)  # world -> body
+        Xc = Tcb_R @ Xb + Tcb_t
+        return cam.project(model, params, Xc) - uv, Xc[2]
+
+    z6 = jnp.zeros(6)
+    z3 = jnp.zeros(3)
+    (r, depth) = res(z6, z3)
+    Jx = jax.jacfwd(lambda d: res(d, z3)[0])(z6)  # (2,6)
+    Jp = jax.jacfwd(lambda d: res(z6, d)[0])(z3)  # (2,3)
+    return r, Jx, Jp, depth
+
+
+def solve_vi_ba(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    prob: VIProblem,
+    iters: int = 8,
+    pcg_iters: int = 50,
+    huber_mono: float = lm.CHI2_MONO,
+    prior_gyro: float = 1e2,
+    prior_acc: float = 1e6,
+    dense_solve: bool = True,
+    axis_name: Optional[str] = None,
+) -> VIResult:
+    """Joint visual-inertial BA (`LocalInertialBA` `Optimizer.cc:4753` /
+    `FullInertialBA` `:473`): 15-dof KF states, Schur-eliminated points,
+    IMU chain + bias random walk in the reduced system.
+
+    `prior_gyro`/`prior_acc` weight zero-bias priors on the FIRST free
+    keyframe's biases (ref `EdgePriorGyro/Acc` with priorG=1e2, priorA=1e6
+    during inertial initialization, `Optimizer.cc:528-560`); the random
+    walk propagates the anchor down the chain. Set to 0 after the bias is
+    well observed."""
+    K = prob.state.R.shape[0]
+    P = prob.points.shape[0]
+    g = G0
+
+    def _allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def seg_kf(vals, idx):
+        return _allreduce(jax.ops.segment_sum(vals, idx, num_segments=K))
+
+    def seg_point(vals):
+        return _allreduce(jax.ops.segment_sum(vals, prob.obs_point, num_segments=P))
+
+    def gn_step(state_tuple, lamb):
+        state, points = state_tuple
+
+        # ---- visual part -------------------------------------------------
+        Rg = state.R[prob.obs_cam]
+        pg = state.p[prob.obs_cam]
+        Xw = points[prob.obs_point]
+        r_v, Jx, Jp, depth = jax.vmap(
+            lambda R_, p_, X_, uv_: _visual_res_jac(
+                model, params, prob.Tcb_R, prob.Tcb_t, R_, p_, X_, uv_
+            )
+        )(Rg, pg, Xw, prob.obs_uv)
+        ok = prob.obs_valid & (depth > 1e-3) & prob.point_valid[prob.obs_point]
+        inv_s2 = 1.0 / prob.obs_sigma2
+        chi2 = jnp.sum(r_v * r_v, -1) * inv_s2
+        w = jnp.where(ok, inv_s2 * lm.huber_weight(chi2, huber_mono), 0.0)
+        free = ~prob.kf_fixed[prob.obs_cam]
+        sw = jnp.sqrt(w)
+        # Pose part occupies dims 0:6 of the 15-dim state.
+        Jx_w = Jx * (sw * free)[:, None, None]  # (O,2,6)
+        Jp_w = Jp * sw[:, None, None]  # (O,2,3)
+        e_w = r_v * sw[:, None]
+
+        Hpp = seg_point(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w))
+        bp = -seg_point(jnp.einsum("oij,oi->oj", Jp_w, e_w))
+        Hcc_vis = seg_kf(jnp.einsum("oij,oik->ojk", Jx_w, Jx_w), prob.obs_cam)  # (K,6,6)
+        bc_vis = -seg_kf(jnp.einsum("oij,oi->oj", Jx_w, e_w), prob.obs_cam)  # (K,6)
+
+        # ---- inertial part ----------------------------------------------
+        E = prob.edges.i.shape[0]
+        ev = prob.edges.valid
+
+        def edge_rj(k):
+            i, j = prob.edges.i[k], prob.edges.j[k]
+
+            def res(dxi, dxj):
+                si = retract(
+                    BodyState(state.R[i], state.p[i], state.v[i], state.bg[i], state.ba[i]),
+                    dxi,
+                )
+                sj = retract(
+                    BodyState(state.R[j], state.p[j], state.v[j], state.bg[j], state.ba[j]),
+                    dxj,
+                )
+                r9 = imu_residual(
+                    si.R, si.p, si.v, si.bg, si.ba, sj.R, sj.p, sj.v,
+                    prob.edges.dR[k], prob.edges.dV[k], prob.edges.dP[k],
+                    prob.edges.JRg[k], prob.edges.JVg[k], prob.edges.JVa[k],
+                    prob.edges.JPg[k], prob.edges.JPa[k],
+                    prob.edges.bg0[k], prob.edges.ba0[k], prob.edges.dT[k], g,
+                )
+                r_rw = jnp.concatenate([sj.bg - si.bg, sj.ba - si.ba])
+                return r9, r_rw
+
+            z = jnp.zeros(STATE_DIM)
+            r9, r_rw = res(z, z)
+            J9i = jax.jacfwd(lambda d: res(d, z)[0])(z)
+            J9j = jax.jacfwd(lambda d: res(z, d)[0])(z)
+            Jrwi = jax.jacfwd(lambda d: res(d, z)[1])(z)
+            Jrwj = jax.jacfwd(lambda d: res(z, d)[1])(z)
+            # Whiten.
+            L9 = jnp.linalg.cholesky(
+                prob.edges.info[k] + 1e-8 * jnp.eye(9)
+            ).T
+            Lrw = jnp.linalg.cholesky(
+                prob.edges.info_rw[k] + 1e-8 * jnp.eye(6)
+            ).T
+            m = ev[k].astype(r9.dtype)
+            # Pose-only fixing: zero the pose columns (dims 0:6) of fixed
+            # KFs; velocity/bias columns stay active.
+            pose_dims = (jnp.arange(STATE_DIM) < 6).astype(r9.dtype)
+            fi = jnp.where(prob.kf_fixed[i], 1.0 - pose_dims, jnp.ones(STATE_DIM))
+            fj = jnp.where(prob.kf_fixed[j], 1.0 - pose_dims, jnp.ones(STATE_DIM))
+            return (
+                m * (L9 @ r9), m * (L9 @ J9i) * fi[None, :], m * (L9 @ J9j) * fj[None, :],
+                m * (Lrw @ r_rw), m * (Lrw @ Jrwi) * fi[None, :], m * (Lrw @ Jrwj) * fj[None, :],
+            )
+
+        r9, J9i, J9j, rrw, Jrwi, Jrwj = jax.vmap(edge_rj)(jnp.arange(E))
+
+        # ---- assemble the reduced (KF-state) system ----------------------
+        # Full KF Hessian is (K,15,K,15): visual contributes to the pose
+        # block-diagonal; IMU edges contribute i-i, j-j, i-j blocks.
+        Hkk = jnp.zeros((K, STATE_DIM, STATE_DIM))
+        Hkk = Hkk.at[:, :6, :6].add(Hcc_vis)
+        bk = jnp.zeros((K, STATE_DIM))
+        bk = bk.at[:, :6].add(bc_vis)
+
+        Hii = jnp.einsum("eai,eaj->eij", J9i, J9i) + jnp.einsum("eai,eaj->eij", Jrwi, Jrwi)
+        Hjj = jnp.einsum("eai,eaj->eij", J9j, J9j) + jnp.einsum("eai,eaj->eij", Jrwj, Jrwj)
+        Hij = jnp.einsum("eai,eaj->eij", J9i, J9j) + jnp.einsum("eai,eaj->eij", Jrwi, Jrwj)
+        bi = jnp.einsum("eai,ea->ei", J9i, r9) + jnp.einsum("eai,ea->ei", Jrwi, rrw)
+        bj = jnp.einsum("eai,ea->ei", J9j, r9) + jnp.einsum("eai,ea->ei", Jrwj, rrw)
+        Hkk = Hkk.at[prob.edges.i].add(Hii)
+        Hkk = Hkk.at[prob.edges.j].add(Hjj)
+        bk = bk.at[prob.edges.i].add(-bi)
+        bk = bk.at[prob.edges.j].add(-bj)
+        # Off-diagonal IMU blocks kept per-edge (applied in matvec).
+
+        # Bias priors on the first free KF (anchor; RW edges spread it).
+        first_free = jnp.argmax(~prob.kf_fixed)
+        eye3 = jnp.eye(3)
+        Hkk = Hkk.at[first_free, 9:12, 9:12].add(prior_gyro * eye3)
+        Hkk = Hkk.at[first_free, 12:15, 12:15].add(prior_acc * eye3)
+        bk = bk.at[first_free, 9:12].add(-prior_gyro * state.bg[first_free])
+        bk = bk.at[first_free, 12:15].add(-prior_acc * state.ba[first_free])
+
+        # Damping + identity rows for frozen dims (pose of fixed KFs).
+        eye15 = jnp.eye(STATE_DIM)
+        Hkk = Hkk + lamb * jnp.abs(Hkk) * eye15[None] + 1e-6 * eye15[None]
+        free_dim = jnp.where(
+            prob.kf_fixed[:, None], (jnp.arange(STATE_DIM) >= 6)[None, :], True
+        )  # (K,15)
+        Hkk = Hkk * free_dim[:, :, None] * free_dim[:, None, :]
+        Hkk = Hkk + jnp.where(free_dim, 0.0, 1.0)[:, :, None] * eye15[None]
+        bk = bk * free_dim
+        Hpp2 = Hpp + lamb * jnp.abs(Hpp) * jnp.eye(3)[None] + 1e-7 * jnp.eye(3)[None]
+        Hpp_inv = lm.inv3x3(Hpp2)
+        Hkk_inv = jnp.linalg.inv(Hkk)
+
+        # Reduced RHS.
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
+        v0 = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])
+        b_red = bk.at[:, :6].add(
+            -seg_kf(jnp.einsum("oij,oi->oj", Jx_w, v0), prob.obs_cam)
+        )
+
+        def matvec(x):  # (K,15)
+            Hx = jnp.einsum("kij,kj->ki", Hkk, x)
+            # IMU off-diagonal blocks.
+            xi = x[prob.edges.i]
+            xj = x[prob.edges.j]
+            Hx = Hx.at[prob.edges.i].add(jnp.einsum("eij,ej->ei", Hij, xj))
+            Hx = Hx.at[prob.edges.j].add(
+                jnp.einsum("eji,ej->ei", Hij, xi)
+            )
+            # Schur term (pose dims only).
+            u = jnp.einsum("oij,oj->oi", Jx_w, x[prob.obs_cam, :6])
+            tp = seg_point(jnp.einsum("oij,oi->oj", Jp_w, u))
+            y = jnp.einsum("pij,pj->pi", Hpp_inv, tp)
+            vv = jnp.einsum("oij,oj->oi", Jp_w, y[prob.obs_point])
+            Hx = Hx.at[:, :6].add(
+                -seg_kf(jnp.einsum("oij,oi->oj", Jx_w, vv), prob.obs_cam)
+            )
+            return Hx
+
+        def precond(r):
+            return jnp.einsum("kij,kj->ki", Hkk_inv, r)
+
+        if dense_solve:
+            # The reduced KF system is tiny (15K x 15K) but stiff — the
+            # whitened IMU chain has information ~1e8 against visual ~1,
+            # which defeats block-Jacobi PCG. Materialize S by pushing the
+            # identity through the matvec (one vmapped pass) and solve
+            # directly; exact and cheap for window-sized K.
+            dim = K * STATE_DIM
+            basis = jnp.eye(dim).reshape(dim, K, STATE_DIM)
+            S = jax.vmap(matvec)(basis).reshape(dim, dim).T
+            S = 0.5 * (S + S.T)
+            # Jacobi rescaling: whitened IMU rows are ~1e8 vs visual ~1,
+            # which is fatal for float32 Cholesky without balancing.
+            d = jnp.sqrt(jnp.clip(jnp.diag(S), 1e-12, None))
+            S_s = S / d[:, None] / d[None, :] + 1e-7 * jnp.eye(dim)
+            y = jnp.linalg.solve(S_s, b_red.reshape(-1) / d)
+            dx = (y / d).reshape(K, STATE_DIM)
+        else:
+            dx = lm.pcg(matvec, b_red, precond, iters=pcg_iters).x
+        dx = dx * free_dim
+
+        # Back-substitute points.
+        u = jnp.einsum("oij,oj->oi", Jx_w, dx[prob.obs_cam, :6])
+        tp = seg_point(jnp.einsum("oij,oi->oj", Jp_w, u))
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - tp)
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+
+        new_state = retract(state, dx)
+        return (new_state, points + dp)
+
+    def cost_fn(state_tuple):
+        state, points = state_tuple
+        Rg = state.R[prob.obs_cam]
+        pg = state.p[prob.obs_cam]
+        Xw = points[prob.obs_point]
+        r_v, _, _, depth = jax.vmap(
+            lambda R_, p_, X_, uv_: _visual_res_jac(
+                model, params, prob.Tcb_R, prob.Tcb_t, R_, p_, X_, uv_
+            )
+        )(Rg, pg, Xw, prob.obs_uv)
+        ok = prob.obs_valid & (depth > 1e-3) & prob.point_valid[prob.obs_point]
+        chi2 = jnp.sum(r_v * r_v, -1) / prob.obs_sigma2
+        rho = jnp.where(
+            chi2 <= huber_mono,
+            chi2,
+            2.0 * jnp.sqrt(huber_mono * jnp.maximum(chi2, 1e-12)) - huber_mono,
+        )
+        c_vis = jnp.sum(jnp.where(ok, rho, 0.0))
+
+        E = prob.edges.i.shape[0]
+
+        def edge_cost(k):
+            i, j = prob.edges.i[k], prob.edges.j[k]
+            r9 = imu_residual(
+                state.R[i], state.p[i], state.v[i], state.bg[i], state.ba[i],
+                state.R[j], state.p[j], state.v[j],
+                prob.edges.dR[k], prob.edges.dV[k], prob.edges.dP[k],
+                prob.edges.JRg[k], prob.edges.JVg[k], prob.edges.JVa[k],
+                prob.edges.JPg[k], prob.edges.JPa[k],
+                prob.edges.bg0[k], prob.edges.ba0[k], prob.edges.dT[k], g,
+            )
+            rrw = jnp.concatenate(
+                [state.bg[j] - state.bg[i], state.ba[j] - state.ba[i]]
+            )
+            c = r9 @ prob.edges.info[k] @ r9 + rrw @ prob.edges.info_rw[k] @ rrw
+            return jnp.where(prob.edges.valid[k], c, 0.0)
+
+        c_imu = jnp.sum(jax.vmap(edge_cost)(jnp.arange(E)))
+        first_free = jnp.argmax(~prob.kf_fixed)
+        c_prior = prior_gyro * jnp.sum(state.bg[first_free] ** 2) + prior_acc * jnp.sum(
+            state.ba[first_free] ** 2
+        )
+        return _allreduce(c_vis) + c_imu + c_prior
+
+    (state, points), cost = lm.lm_loop(
+        (prob.state, prob.points), cost_fn, gn_step, iters
+    )
+
+    # Final chi2 gate for observation pruning.
+    Rg = state.R[prob.obs_cam]
+    pg = state.p[prob.obs_cam]
+    Xw = points[prob.obs_point]
+    r_v, _, _, depth = jax.vmap(
+        lambda R_, p_, X_, uv_: _visual_res_jac(
+            model, params, prob.Tcb_R, prob.Tcb_t, R_, p_, X_, uv_
+        )
+    )(Rg, pg, Xw, prob.obs_uv)
+    ok = prob.obs_valid & (depth > 1e-3) & prob.point_valid[prob.obs_point]
+    chi2 = jnp.sum(r_v * r_v, -1) / prob.obs_sigma2
+    inlier = ok & (chi2 <= huber_mono)
+    return VIResult(state=state, points=points, cost=cost, obs_inlier=inlier)
+
+
+solve_vi_ba_jit = jax.jit(
+    solve_vi_ba,
+    static_argnames=("model", "iters", "pcg_iters", "dense_solve", "axis_name"),
+)

@@ -1,0 +1,478 @@
+"""Local mapping: map growth + refinement after each keyframe.
+
+Re-design of `/root/reference/src/LocalMapping.cc` (Run loop `:96`,
+pipeline order `:117-280`). The reference is a consumer thread; here
+`process_keyframe` runs as a host-sequenced set of jitted programs:
+
+* `CreateNewMapPoints` (`:501`): per covisible-KF-pair epipolar-masked
+  Hamming matching + batched DLT triangulation with the reference's
+  gates (cheirality, parallax, reprojection chi2, scale consistency).
+* `SearchInNeighbors` fuse (`:913`): projection-masked matching of KF
+  points into neighbor frames, duplicate replacement.
+* Local BA (`Optimizer::LocalBundleAdjustment` `Optimizer.cc:1811`):
+  covisibility window + fixed frontier assembled by pure gathers into
+  `optim.ba.BAProblem` (points array stays the full SoA pool; windowing
+  is a mask).
+* `MapPointCulling` (`:435`): masked reduction on observer counts.
+* `KeyFrameCulling` (`:1170`): 90%-redundancy rule on observation
+  counts per scale band.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.atlas import store as st
+from orbslam3_tpu.ops import cameras as cam
+from orbslam3_tpu.ops import features as feat
+from orbslam3_tpu.ops import lie, matching
+from orbslam3_tpu.optim import ba as ba_mod
+from orbslam3_tpu.optim import lm
+
+WINDOW = 16  # optimizable window cap (ref: all covisibles of current KF)
+FIXED = 16  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
+
+
+# ---------------------------------------------------------------------------
+# Triangulation of new map points
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def triangulate_pair(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    R1, t1, R2, t2,  # Tcw of the two KFs
+    uv1, oct1, desc1, free1,  # current KF features (free = no map point yet)
+    uv2, oct2, desc2, free2,  # neighbor KF features
+    sigma2_table: jnp.ndarray,
+    scale_table: jnp.ndarray,
+    focal: float,
+):
+    """One KF-pair triangulation pass (`SearchForTriangulation`
+    `ORBmatcher.cc:1138` + `CreateNewMapPoints` gates
+    `LocalMapping.cc:501-910`).
+
+    Returns (Xw (N,3), good (N,), match_idx2 (N,)) indexed by KF1 feature.
+    """
+    rays1 = cam.unproject(model, params, uv1)  # (N,3) z=1
+    rays2 = cam.unproject(model, params, uv2)
+    # Relative pose 2<-1: T21 = T2 * T1^-1.
+    R1i, t1i = lie.se3_inv(R1, t1)
+    R21, t21 = lie.se3_compose(R2, t2, R1i, t1i)
+    E21 = lie.hat(t21) @ R21
+
+    # Epipolar constraint mask: Sampson-ish line distance in normalized
+    # coords, threshold 3.84 sigma^2 scaled to the unit plane
+    # (`epipolarConstrain`, `ORBmatcher.cc:CheckDistEpipolarLine`).
+    l2 = rays1 @ E21.T  # (N1,3) epipolar line in image 2 per left ray
+    num = jnp.einsum("mj,nj->nm", rays2, l2) ** 2  # (N1,N2)
+    den = (l2[:, None, 0] ** 2 + l2[:, None, 1] ** 2) + 1e-12
+    d2 = num / den
+    s2_kp2 = sigma2_table[jnp.clip(oct2, 0, sigma2_table.shape[0] - 1)]
+    epi_ok = d2 < (3.84 / (focal * focal)) * s2_kp2[None, :]
+
+    m = matching.match_nn(
+        desc1, desc2, free1, free2,
+        max_dist=matching.TH_LOW, ratio=0.8, cross_check=True, extra_mask=epi_ok,
+    )
+    idx2 = jnp.clip(m.idx, 0)
+
+    # Triangulate in the WORLD frame with full DLT rows from both cameras.
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)  # (3,4)
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+    p1n = rays1[:, :2]
+    p2n = rays2[idx2][:, :2]
+
+    def rows(P, p):
+        return jnp.stack([p[..., 0:1] * P[2] - P[0], p[..., 1:2] * P[2] - P[1]], axis=-2)
+
+    A = jnp.concatenate([rows(P1, p1n), rows(P2, p2n)], axis=-2)  # (N,4,4)
+    _, _, vt = jnp.linalg.svd(A)
+    X = vt[..., -1, :]
+    w = X[..., 3:4]
+    Xw = X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+
+    # Gates.
+    Xc1 = lie.se3_apply(R1, t1, Xw)
+    Xc2 = lie.se3_apply(R2, t2, Xw)
+    z1, z2 = Xc1[..., 2], Xc2[..., 2]
+    # Parallax between viewing rays (LocalMapping.cc:600-660).
+    O1 = -jnp.swapaxes(R1, -1, -2) @ t1
+    O2 = -jnp.swapaxes(R2, -1, -2) @ t2
+    r1w = Xw - O1[None]
+    r2w = Xw - O2[None]
+    cosp = jnp.sum(r1w * r2w, -1) / (
+        jnp.linalg.norm(r1w, axis=-1) * jnp.linalg.norm(r2w, axis=-1) + 1e-12
+    )
+    # Reprojection chi2 in pixels.
+    uv1_hat = cam.project(model, params, Xc1)
+    uv2_hat = cam.project(model, params, Xc2)
+    s2_1 = sigma2_table[jnp.clip(oct1, 0, sigma2_table.shape[0] - 1)]
+    e1 = jnp.sum((uv1_hat - uv1) ** 2, -1) / s2_1
+    e2 = jnp.sum((uv2_hat - uv2[idx2]) ** 2, -1) / s2_kp2[idx2]
+    # Scale consistency (ratioFactor = 1.5 * scaleFactor, LocalMapping.cc:860).
+    d1 = jnp.linalg.norm(r1w, axis=-1)
+    d2_ = jnp.linalg.norm(r2w, axis=-1)
+    ratio_dist = d2_ / jnp.maximum(d1, 1e-9)
+    ratio_oct = (
+        scale_table[jnp.clip(oct1, 0, scale_table.shape[0] - 1)]
+        / scale_table[jnp.clip(oct2[idx2], 0, scale_table.shape[0] - 1)]
+    )
+    rf = 1.5 * 1.2
+    scale_ok = (ratio_dist * rf > ratio_oct) & (ratio_dist < ratio_oct * rf)
+
+    good = (
+        m.valid
+        & (z1 > 1e-3)
+        & (z2 > 1e-3)
+        & (cosp < 0.9998)
+        & (cosp > 0)
+        & (e1 < lm.CHI2_MONO)
+        & (e2 < lm.CHI2_MONO)
+        & scale_ok
+        & jnp.all(jnp.isfinite(Xw), axis=-1)
+    )
+    return Xw, good, m.idx
+
+
+# ---------------------------------------------------------------------------
+# Fuse (SearchInNeighbors)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_levels"))
+def fuse_into_kf(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    state: st.MapState,
+    kf_id: jnp.ndarray,
+    cand_ids: jnp.ndarray,  # (M,) map points to fuse into this KF
+    cand_valid: jnp.ndarray,
+    img_wh: jnp.ndarray,
+    sigma2_table: jnp.ndarray,
+    n_levels: int = 8,
+):
+    """Project candidate points into KF `kf_id`; where a keypoint already
+    has a different point, *replace* candidates' obs (keep existing —
+    ref keeps the point with more observations; we keep the incumbent for
+    determinism); where free, add association (ref `ORBmatcher::Fuse`
+    `ORBmatcher.cc:1630`). Returns new kf_mp row."""
+    from orbslam3_tpu.pipeline import frame as fr
+
+    R = state.kf_R[kf_id]
+    t = state.kf_t[kf_id]
+    ids = jnp.clip(cand_ids, 0)
+    uv, visible, lvl, vcos = fr.frustum_and_scale(
+        model, params, R, t,
+        state.mp_pos[ids], cand_valid & state.mp_valid[ids], state.mp_normal[ids],
+        state.mp_min_dist[ids], state.mp_max_dist[ids], img_wh, n_levels=n_levels,
+    )
+    r = 3.0 * 1.2 ** lvl.astype(jnp.float32)
+    kp_valid = state.kf_feat_valid[kf_id]
+    m = matching.search_by_projection(
+        state.mp_desc[ids], uv, visible, state.kf_desc[kf_id],
+        state.kf_uv[kf_id], kp_valid,
+        radius=r, octave_kp=state.kf_octave[kf_id],
+        octave_lo=jnp.maximum(lvl - 1, 0), octave_hi=lvl + 1,
+        max_dist=matching.TH_LOW, ratio=1.0,
+    )
+    m = matching.assign_unique(m, state.Nf)
+    row = state.kf_mp[kf_id]
+    tgt = jnp.clip(m.idx, 0)
+    incumbent = row[tgt]
+    write = m.valid & (incumbent < 0)
+    new_row = row.at[tgt].set(jnp.where(write, ids, incumbent))
+    return new_row, jnp.sum(write.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Local BA assembly
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("model", "iters", "pcg_iters"))
+def local_ba(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    state: st.MapState,
+    window_ids: jnp.ndarray,  # (W,) -1 padded — optimizable KFs
+    fixed_ids: jnp.ndarray,  # (F,) -1 padded — fixed frontier KFs
+    sigma2_table: jnp.ndarray,
+    bf: float = 0.0,
+    iters: int = 8,
+    pcg_iters: int = 40,
+):
+    """Assemble + solve the local BA problem (`Optimizer::
+    LocalBundleAdjustment` `Optimizer.cc:1811`). Returns updated state
+    and stats. The first two entries of window_ids are expected to be the
+    oldest KFs if map anchoring is needed (caller decides fixing)."""
+    all_ids = jnp.concatenate([window_ids, fixed_ids])  # (W+F,)
+    C = all_ids.shape[0]
+    ok_kf = all_ids >= 0
+    ids = jnp.clip(all_ids, 0)
+    cam_R = state.kf_R[ids]
+    cam_t = state.kf_t[ids]
+    cam_fixed = jnp.arange(C) >= window_ids.shape[0]
+    cam_fixed = cam_fixed | ~ok_kf
+
+    # Window point mask: points seen from the window.
+    win_mp = state.kf_mp[jnp.clip(window_ids, 0)]
+    wok = (win_mp >= 0) & (window_ids >= 0)[:, None]
+    win_mask = jnp.zeros((state.Pmax,), bool).at[jnp.clip(win_mp, 0)].max(wok)
+    win_mask &= state.mp_valid
+
+    # Observations: all features of all participating KFs, masked to
+    # window points.
+    Nf = state.Nf
+    obs_mp = state.kf_mp[ids].reshape(-1)  # (C*Nf,)
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), Nf)
+    obs_uv = state.kf_uv[ids].reshape(-1, 2)
+    obs_ur = state.kf_ur[ids].reshape(-1)
+    obs_oct = state.kf_octave[ids].reshape(-1)
+    feat_ok = state.kf_feat_valid[ids].reshape(-1)
+    obs_pt = jnp.clip(obs_mp, 0)
+    obs_valid = (
+        (obs_mp >= 0) & feat_ok & ok_kf[obs_cam] & win_mask[obs_pt]
+    )
+    obs_s2 = sigma2_table[jnp.clip(obs_oct, 0, sigma2_table.shape[0] - 1)]
+
+    prob = ba_mod.BAProblem(
+        cam_R=cam_R, cam_t=cam_t, cam_fixed=cam_fixed,
+        points=state.mp_pos, point_valid=win_mask,
+        obs_cam=obs_cam, obs_point=obs_pt, obs_uv=obs_uv, obs_ur=obs_ur,
+        obs_sigma2=obs_s2, obs_valid=obs_valid,
+    )
+    res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters, pcg_iters=pcg_iters)
+
+    # Write back: window poses + window points.
+    Wn = window_ids.shape[0]
+    new_state = st.update_poses_points(
+        state,
+        jnp.clip(window_ids, 0), res.cam_R[:Wn], res.cam_t[:Wn],
+        (window_ids >= 0),
+        jnp.arange(state.Pmax), res.points, win_mask,
+    )
+    # Remove outlier observations (ref: Optimizer.cc:2060-2090 erase).
+    bad_obs = obs_valid & ~res.obs_inlier
+    kf_row = jnp.repeat(ids, Nf)
+    feat_idx = jnp.tile(jnp.arange(Nf, dtype=jnp.int32), C)
+    cur = new_state.kf_mp[kf_row, feat_idx]
+    new_kf_mp = new_state.kf_mp.at[kf_row, feat_idx].set(jnp.where(bad_obs, -1, cur))
+    new_state = new_state._replace(kf_mp=new_kf_mp)
+    return new_state, res.cost, jnp.sum(bad_obs.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Host-side LocalMapper
+# ---------------------------------------------------------------------------
+
+
+class LocalMapper:
+    """Synchronous local mapping (one call per keyframe insertion)."""
+
+    def __init__(self, model, params, img_wh, store: st.MapStore,
+                 orb_params: feat.OrbParams = feat.OrbParams(), bf: float = 0.0):
+        self.model = model
+        self.params = params
+        self.img_wh = np.asarray(img_wh, np.float32)
+        self.store = store
+        self.bf = bf
+        self.sigma2_table = jnp.asarray(feat.sigma2(orb_params))
+        self.scale_table = jnp.asarray(feat.scale_factors(orb_params))
+        self.focal = float(params[0])
+        self.recent_mp: list[tuple[int, np.ndarray]] = []  # (birth_kf, slots)
+
+    def process_keyframe(self, kf_id: int, initial: bool = False):
+        if initial:
+            # Initial map: full BA over the two first KFs
+            # (`GlobalBundleAdjustemnt(20)`, Tracking.cc:1948).
+            self._global_ba_small(kf_id)
+            return
+        self._cull_points(kf_id)
+        self._create_new_points(kf_id)
+        self._fuse_neighbors(kf_id)
+        self._local_ba(kf_id)
+
+    # ------------------------------------------------------------------
+    def _covisible(self, kf_id: int, n: int) -> np.ndarray:
+        W = np.asarray(st.covisibility(self.store.state))
+        weights = W[kf_id][: self.store.n_kf]
+        order = np.argsort(-weights)
+        top = order[weights[order] >= 15][:n]  # ref th=15 (KeyFrame.cc:469)
+        if len(top) == 0:
+            top = order[weights[order] > 0][:n]
+        return top.astype(np.int32)
+
+    def _create_new_points(self, kf_id: int):
+        """`CreateNewMapPoints` (`LocalMapping.cc:501`): triangulate with
+        the 10 (mono: 20) best covisible KFs."""
+        s = self.store.state
+        neighbors = self._covisible(kf_id, 10)
+        if len(neighbors) == 0 and self.store.n_kf >= 2:
+            neighbors = np.asarray([kf_id - 1], np.int32)
+        free_cur = np.asarray((s.kf_mp[kf_id] < 0) & s.kf_feat_valid[kf_id])
+        claimed = np.zeros_like(free_cur)
+        for nb in neighbors:
+            s = self.store.state
+            # Baseline check (LocalMapping.cc:540): skip if baseline too
+            # short vs median scene depth — approximated by 1% of median
+            # point depth in the neighbor frame.
+            Xw, good, idx2 = triangulate_pair(
+                self.model, self.params,
+                s.kf_R[kf_id], s.kf_t[kf_id], s.kf_R[nb], s.kf_t[nb],
+                s.kf_uv[kf_id], s.kf_octave[kf_id], s.kf_desc[kf_id],
+                jnp.asarray(free_cur & ~claimed),
+                s.kf_uv[nb], s.kf_octave[nb], s.kf_desc[nb],
+                (s.kf_mp[nb] < 0) & s.kf_feat_valid[nb],
+                self.sigma2_table, self.scale_table, self.focal,
+            )
+            good_np = np.asarray(good)
+            n_new = int(good_np.sum())
+            if n_new == 0:
+                continue
+            sel = np.flatnonzero(good_np)
+            slots = self.store.alloc_mps(n_new)
+            Xw_np = np.asarray(Xw)[sel]
+            desc = np.asarray(s.kf_desc[kf_id])[sel]
+            # Normal & scale band from the current KF.
+            Rwc = np.asarray(s.kf_R[kf_id]).T
+            Ow = -Rwc @ np.asarray(s.kf_t[kf_id])
+            vec = Xw_np - Ow
+            dist = np.linalg.norm(vec, axis=-1)
+            normal = vec / np.maximum(dist[:, None], 1e-9)
+            octs = np.asarray(s.kf_octave[kf_id])[sel]
+            sf = np.asarray(self.scale_table)
+            max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
+            min_d = max_d / sf[-1]
+            new_state = st.add_points(
+                s, jnp.asarray(slots), jnp.asarray(Xw_np, jnp.float32),
+                jnp.asarray(desc), jnp.asarray(normal, jnp.float32),
+                jnp.asarray(min_d, jnp.float32), jnp.asarray(max_d, jnp.float32),
+                jnp.full(n_new, kf_id, jnp.int32), jnp.ones(n_new, bool),
+            )
+            # Associations in both KFs.
+            new_state = st.set_associations(
+                new_state, kf_id, jnp.asarray(sel, jnp.int32), jnp.asarray(slots)
+            )
+            idx2_np = np.asarray(idx2)[sel]
+            new_state = st.set_associations(
+                new_state, int(nb), jnp.asarray(idx2_np, jnp.int32), jnp.asarray(slots)
+            )
+            self.store.state = new_state
+            claimed[sel] = True
+            self.recent_mp.append((kf_id, slots))
+        self.store.bump()
+
+    def _fuse_neighbors(self, kf_id: int):
+        """`SearchInNeighbors` (`LocalMapping.cc:913`), first direction:
+        project current-KF points into neighbors."""
+        s = self.store.state
+        neighbors = self._covisible(kf_id, 10)
+        cand = np.asarray(s.kf_mp[kf_id])
+        cand_ids = jnp.asarray(np.where(cand >= 0, cand, 0))
+        cand_valid = jnp.asarray(cand >= 0)
+        for nb in neighbors:
+            new_row, n_fused = fuse_into_kf(
+                self.model, self.params, self.store.state, int(nb),
+                cand_ids, cand_valid, jnp.asarray(self.img_wh), self.sigma2_table,
+            )
+            self.store.state = self.store.state._replace(
+                kf_mp=self.store.state.kf_mp.at[int(nb)].set(new_row)
+            )
+
+    def _local_ba(self, kf_id: int):
+        s = self.store.state
+        cov = self._covisible(kf_id, WINDOW - 1)
+        window = np.concatenate([[kf_id], cov]).astype(np.int32)[:WINDOW]
+        # Fixed frontier: KFs sharing points with the window, not in it.
+        Wmat = np.asarray(st.covisibility(s))
+        nkf = self.store.n_kf
+        shares = Wmat[window][:, :nkf].sum(0)
+        cand = np.argsort(-shares)
+        fixed = [c for c in cand if shares[c] > 0 and c not in set(window.tolist())][:FIXED]
+        # Anchor: if fewer than 1 fixed, fix the oldest window KF
+        # (ref guarantees >=2 fixed KFs, Optimizer.cc:1903-1944).
+        if len(fixed) == 0 and len(window) > 1:
+            oldest = int(window.min())
+            window = np.asarray([k for k in window if k != oldest], np.int32)
+            fixed = [oldest]
+        win_pad = np.full(WINDOW, -1, np.int32)
+        win_pad[: len(window)] = window
+        fix_pad = np.full(FIXED, -1, np.int32)
+        fix_pad[: len(fixed)] = fixed
+        # Always keep KF 0 fixed to anchor the gauge.
+        if 0 in window.tolist():
+            win_pad = np.asarray([k if k != 0 else -1 for k in win_pad], np.int32)
+            if 0 not in fixed:
+                for i in range(FIXED):
+                    if fix_pad[i] < 0:
+                        fix_pad[i] = 0
+                        break
+        new_state, cost, n_out = local_ba(
+            self.model, self.params, self.store.state,
+            jnp.asarray(win_pad), jnp.asarray(fix_pad), self.sigma2_table,
+            bf=self.bf,
+        )
+        self.store.state = new_state
+        self.store.bump()
+
+    def _cull_points(self, kf_id: int):
+        """`MapPointCulling` (`LocalMapping.cc:435`): recently created
+        points must gain >=3 observers within 2 KFs of birth."""
+        if not self.recent_mp:
+            return
+        s = self.store.state
+        observers = np.asarray(st.point_observers(s))
+        keep = []
+        erase_slots = []
+        for birth_kf, slots in self.recent_mp:
+            age = kf_id - birth_kf
+            if age >= 2:
+                bad = slots[observers[slots] <= 2]
+                erase_slots.append(bad)
+                # survivors graduate (no more checks)
+            else:
+                keep.append((birth_kf, slots))
+        self.recent_mp = keep
+        if erase_slots:
+            bad = np.concatenate(erase_slots)
+            if len(bad):
+                self.store.state = st.erase_points(
+                    s, jnp.asarray(bad, jnp.int32), jnp.ones(len(bad), bool)
+                )
+                self.store.free_mp_slots.extend(int(b) for b in bad)
+
+    def _global_ba_small(self, kf_id: int):
+        """Initial-map BA: optimize both initial KFs (first fixed)."""
+        win = np.full(WINDOW, -1, np.int32)
+        win[0] = kf_id
+        fix = np.full(FIXED, -1, np.int32)
+        fix[0] = 0
+        new_state, cost, _ = local_ba(
+            self.model, self.params, self.store.state,
+            jnp.asarray(win), jnp.asarray(fix), self.sigma2_table,
+            bf=self.bf, iters=12,
+        )
+        self.store.state = new_state
+
+        # Median-depth normalization (`CreateInitialMapMonocular`
+        # Tracking.cc:1971-1984): rescale so median depth of KF0 == 1.
+        s = self.store.state
+        mp_mask = np.asarray(s.mp_valid)
+        pos = np.asarray(s.mp_pos)[mp_mask]
+        if len(pos):
+            z = (np.asarray(s.kf_R[0]) @ pos.T).T + np.asarray(s.kf_t[0])
+            med = np.median(z[:, 2])
+            if med > 1e-6:
+                inv = 1.0 / med
+                self.store.state = s._replace(
+                    mp_pos=s.mp_pos * inv,
+                    kf_t=s.kf_t * inv,
+                )
+        self.store.bump()

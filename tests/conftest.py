@@ -2,20 +2,26 @@
 
 Mirrors SURVEY.md §4's implication: the reference has no unit tests, so we
 build the pyramid ourselves — kernel unit tests against closed forms,
-module tests on synthetic scenes, and sharding tests emulated with
-``--xla_force_host_platform_device_count=8`` (no TPU needed in CI).
+module tests on synthetic scenes, and sharding tests emulated on virtual
+CPU devices (no TPU needed in CI).
+
+NOTE: this environment pre-sets JAX_PLATFORMS=axon (a tunneled TPU), so
+platform selection MUST go through jax.config.update — env vars are
+already taken.
 """
 
-import os
+import jax
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: repeated test runs reuse executables.
+from orbslam3_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 @pytest.fixture

@@ -1,0 +1,74 @@
+import os
+
+import numpy as np
+import pytest
+
+from orbslam3_tpu import config as cfg
+from orbslam3_tpu.io import trajectory as tio
+from orbslam3_tpu.eval.ate import ate_rmse, umeyama
+from orbslam3_tpu.ops import cameras as cam
+
+
+REFERENCE_YAML = "/root/reference/Examples/Monocular/EuRoC.yaml"
+REFERENCE_FISHEYE = "/root/reference/Examples/Monocular/TUM_512.yaml"
+REFERENCE_IMU_YAML = "/root/reference/Examples/Monocular-Inertial/EuRoC.yaml"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_YAML), reason="reference not mounted")
+def test_load_reference_euroc_yaml():
+    s = cfg.load_settings(REFERENCE_YAML)
+    assert s.camera.model == cam.CameraModel.PINHOLE
+    np.testing.assert_allclose(s.camera.params[0], 458.654, rtol=1e-6)
+    assert s.orb.n_features in (1000, 1200)
+    assert s.camera.fps == 20.0
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_FISHEYE), reason="reference not mounted")
+def test_load_reference_fisheye_yaml():
+    s = cfg.load_settings(REFERENCE_FISHEYE)
+    assert s.camera.model == cam.CameraModel.KB8
+    assert abs(s.camera.params[0] - 190.978477) < 1e-3
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_IMU_YAML), reason="reference not mounted")
+def test_load_reference_imu_yaml():
+    s = cfg.load_settings(REFERENCE_IMU_YAML)
+    assert s.imu is not None
+    assert s.imu.freq == 200.0
+    assert s.imu.Tbc.shape == (4, 4)
+
+
+def test_trajectory_roundtrip(tmp_path, rng):
+    from orbslam3_tpu.ops import lie
+    import jax.numpy as jnp
+
+    n = 20
+    ts = np.arange(n) * 0.05
+    Rs = [np.asarray(lie.exp_so3(jnp.asarray(rng.normal(0, 0.3, 3), jnp.float32))) for _ in range(n)]
+    tsl = [rng.normal(0, 1.0, 3) for _ in range(n)]
+    path = str(tmp_path / "traj.txt")
+    tio.save_tum(path, ts, Rs, tsl)
+    ts2, pos, quat = tio.load_tum(path)
+    np.testing.assert_allclose(ts2, ts, atol=1e-9)
+    np.testing.assert_allclose(pos, np.stack(tsl), atol=1e-6)
+
+
+def test_umeyama_alignment(rng):
+    src = rng.normal(size=(50, 3))
+    from scipy.spatial.transform import Rotation
+
+    R_true = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+    s_true, t_true = 2.5, np.array([1.0, -2.0, 0.5])
+    dst = s_true * (R_true @ src.T).T + t_true
+    s, R, t = umeyama(src, dst)
+    assert abs(s - s_true) < 1e-9
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+
+
+def test_ate_rmse_known_error(rng):
+    ts = np.arange(100) * 0.1
+    gt = np.cumsum(rng.normal(0, 0.05, (100, 3)), axis=0)
+    est = gt + rng.normal(0, 0.01, (100, 3))
+    err = ate_rmse(ts, est, ts, gt, with_scale=False)
+    assert 0.005 < err < 0.03

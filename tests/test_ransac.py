@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam3_tpu.ops import lie, ransac
+
+
+def two_view_scene(rng, n=300, planar=False, outlier_frac=0.15):
+    """Normalized-coordinate correspondences of a general or planar scene."""
+    if planar:
+        pts = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), np.full(n, 5.0)], -1
+        )
+    else:
+        pts = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 8, n)], -1
+        )
+    R = np.asarray(lie.exp_so3(jnp.asarray([0.03, -0.12, 0.02], jnp.float32)))
+    t = np.array([0.6, 0.05, 0.1], np.float32)
+    p1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = (R @ pts.T).T + t
+    p2 = pc2[:, :2] / pc2[:, 2:3]
+    # Noise ~0.5px at f=450.
+    p1 += rng.normal(0, 0.5 / 450, p1.shape)
+    p2 += rng.normal(0, 0.5 / 450, p2.shape)
+    n_out = int(n * outlier_frac)
+    idx = rng.choice(n, n_out, replace=False)
+    p2[idx] += rng.uniform(0.05, 0.3, (n_out, 2)) * np.sign(rng.normal(size=(n_out, 2)))
+    return (
+        jnp.asarray(p1, jnp.float32),
+        jnp.asarray(p2, jnp.float32),
+        R,
+        t,
+        np.setdiff1d(np.arange(n), idx),
+    )
+
+
+@pytest.mark.parametrize("planar", [False, True])
+def test_two_view_reconstruction(rng, planar):
+    p1, p2, R_true, t_true, inliers = two_view_scene(rng, planar=planar)
+    res = ransac.reconstruct_two_views(
+        p1, p2, jnp.ones(p1.shape[0], bool), jax.random.PRNGKey(0)
+    )
+    assert bool(res.success), "reconstruction failed"
+    R = np.asarray(res.R)
+    t = np.asarray(res.t)
+    t_dir_true = t_true / np.linalg.norm(t_true)
+    rot_err = np.linalg.norm(np.asarray(lie.log_so3(jnp.asarray(R_true.T @ R))))
+    assert rot_err < 0.01, rot_err
+    assert abs(float(t @ t_dir_true)) > 0.999, t
+    # Model selection: planar scene should pick H, general scene F.
+    assert bool(res.used_homography) == planar
+    # Triangulated points match ground truth up to the recovered scale.
+    good = np.asarray(res.is_good)
+    assert good.sum() > 100
+    X = np.asarray(res.points)[good]
+    # depth positivity
+    assert (X[:, 2] > 0).all()
+
+
+def test_two_view_degenerate_fails(rng):
+    # Pure rotation (no translation): reconstruction must not claim success
+    # with confident parallax.
+    n = 200
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 8, n)], -1)
+    R = np.asarray(lie.exp_so3(jnp.asarray([0.0, 0.1, 0.0], jnp.float32)))
+    p1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = (R @ pts.T).T
+    p2 = pc2[:, :2] / pc2[:, 2:3]
+    res = ransac.reconstruct_two_views(
+        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+        jnp.ones(n, bool), jax.random.PRNGKey(1),
+    )
+    assert not bool(res.success)
