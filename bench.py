@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax
 
 from orbslam3_tpu.utils import enable_compile_cache

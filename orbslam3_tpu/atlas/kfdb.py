@@ -102,19 +102,31 @@ class KeyFrameDB:
         if self._Nf is None:
             self._Nf = desc.shape[0]
             self.words = jnp.full((self.vecs.shape[0], self._Nf), -1, jnp.int32)
-        self.vecs = self.vecs.at[kf_id].set(vec)
-        self.words = self.words.at[kf_id].set(words)
-        self.valid = self.valid.at[kf_id].set(True)
+        kf_j = jnp.asarray(kf_id)
+        self.vecs = self.vecs.at[kf_j].set(vec)
+        self.words = self.words.at[kf_j].set(words)
+        self.valid = self.valid.at[kf_j].set(True)
         return words, vec
 
     def erase(self, kf_id: int):
-        self.valid = self.valid.at[kf_id].set(False)
+        self.valid = self.valid.at[jnp.asarray(kf_id)].set(False)
 
     def query(self, kf_id: int, covis: jnp.ndarray, n_best: int = 3, min_covis: int = 15):
         """Loop/merge candidates for keyframe `kf_id`, excluding its
         covisible neighbourhood (ref `LoopClosing.cc:513`)."""
-        exclude = covis[kf_id] >= min_covis
-        exclude = exclude.at[kf_id].set(True)
+        kf_j = jnp.asarray(kf_id)
+        exclude = covis[kf_j] >= min_covis
+        exclude = exclude.at[kf_j].set(True)
         return detect_candidates(
-            self.vecs[kf_id], self.words[kf_id], self.vecs, self.valid, exclude, covis, n_best
+            self.vecs[kf_j], self.words[kf_j], self.vecs, self.valid, exclude, covis, n_best
+        )
+
+    def query_frame(self, desc, feat_valid, covis: jnp.ndarray, n_best: int = 5):
+        """Relocalization candidates for a (non-keyframe) frame
+        (`DetectRelocalizationCandidates`, `KeyFrameDatabase.cc:785`)."""
+        words = bow_ops.transform(self.voc, desc, feat_valid)
+        vec = bow_ops.bow_vector(self.voc, words)
+        K = self.vecs.shape[0]
+        return detect_candidates(
+            vec, words, self.vecs, self.valid, jnp.zeros(K, bool), covis, n_best
         )

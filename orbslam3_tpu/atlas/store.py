@@ -299,11 +299,17 @@ class MapStore:
         while self.free_mp_slots and len(slots) < n:
             slots.append(self.free_mp_slots.pop())
         remaining = n - len(slots)
-        if self.n_mp + remaining > self.state.Pmax:
+        # Last slot is reserved as the scatter dump for padded inserts
+        # (fixed-shape updates write their padding there).
+        if self.n_mp + remaining > self.state.Pmax - 1:
             raise RuntimeError("map-point capacity exhausted; raise Pmax")
         slots.extend(range(self.n_mp, self.n_mp + remaining))
         self.n_mp += remaining
         return np.asarray(slots, np.int32)
+
+    @property
+    def dump_slot(self) -> int:
+        return self.state.Pmax - 1
 
     def bump(self):
         self.change_index += 1

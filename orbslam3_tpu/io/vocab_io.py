@@ -97,6 +97,51 @@ def load_binary_vocabulary(path: str) -> Vocabulary:
     )
 
 
+def load_text_vocabulary(path: str) -> Vocabulary:
+    """Load a DBoW2 TEXT vocabulary (the stock `ORBvoc.txt` distribution
+    format; ref `TemplatedVocabulary::loadFromTextFile`): header
+    `k L scoring weighting`, then one node per line:
+    `parent is_leaf d0..d31 weight`."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        data = np.fromstring(f.read(), sep=" ")
+    rec = 2 + 32 + 1
+    n = len(data) // rec
+    data = data[: n * rec].reshape(n, rec)
+    parent = data[:, 0].astype(np.int32)
+    is_leaf = data[:, 1] != 0
+    desc = data[:, 2:34].astype(np.uint8)
+    weight = data[:, 34].astype(np.float32)
+    return _assemble_vocabulary(k, L, parent, desc, weight, is_leaf)
+
+
+def _assemble_vocabulary(k, L, parent, desc, weight, is_leaf) -> Vocabulary:
+    n = len(parent)
+    n_nodes = n + 1
+    children = np.full((n_nodes, k), -1, np.int32)
+    child_count = np.zeros(n_nodes, np.int32)
+    for i in range(n):
+        p = parent[i]
+        c = child_count[p]
+        if c < k:
+            children[p, c] = i + 1
+            child_count[p] = c + 1
+    node_desc = np.zeros((n_nodes, 32), np.uint8)
+    node_desc[1:] = desc
+    node_word = np.full(n_nodes, -1, np.int32)
+    word_ids = np.flatnonzero(is_leaf)
+    node_word[word_ids + 1] = np.arange(len(word_ids), dtype=np.int32)
+    return Vocabulary(
+        node_desc=jnp.asarray(node_desc),
+        node_children=jnp.asarray(children),
+        node_word=jnp.asarray(node_word),
+        word_weight=jnp.asarray(weight[word_ids].astype(np.float32)),
+        depth=int(L),
+        k=int(k),
+    )
+
+
 def save_binary_vocabulary(path: str, voc: Vocabulary):
     """Write our vocabulary in the fork's binary format (parents derived
     from the children table; node order preserved)."""

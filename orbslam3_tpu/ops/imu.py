@@ -248,6 +248,22 @@ def midpoint_samples(acc, gyro, ts, t_start, t_end):
         a_out.append(0.5 * (ai + ae))
         g_out.append(0.5 * (wi + we))
         dt_out.append(tend_ - tini)
+    # Boundary hold: integrate [last_sample, t_end] (and [t_start,
+    # first_sample] if the queue starts late) with the nearest sample held
+    # constant — the reference does the same when the image timestamp
+    # falls beyond the last delivered IMU sample (`Tracking.cc:750-757`,
+    # the `tstep = tend - t` tail path). Without this every window loses
+    # the tail up to one IMU period, which biases dT by ~5% at 200/20 Hz
+    # and wrecks gravity/scale initialization.
+    if n >= 1:
+        if ts[0] > t_start and ts[0] < t_end:
+            a_out.insert(0, acc[0])
+            g_out.insert(0, gyro[0])
+            dt_out.insert(0, float(ts[0] - t_start))
+        if ts[-1] < t_end and ts[-1] > t_start:
+            a_out.append(acc[-1])
+            g_out.append(gyro[-1])
+            dt_out.append(float(t_end - max(ts[-1], t_start)))
     if not a_out:
         return (
             np.zeros((0, 3), np.float32),

@@ -51,9 +51,15 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
 
 
 def _theta(w: jnp.ndarray):
+    """(theta_safe, theta2, small): `theta_safe` equals |w| away from zero
+    but is computed as sqrt of a clamped argument so its gradient is
+    finite at w = 0 (the standard double-where trick — both branches of a
+    `jnp.where` are differentiated, so sqrt(0) would leak NaN into every
+    small-angle Taylor branch)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    return theta, theta2
+    small = theta2 < 1e-8
+    theta_safe = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return theta_safe, theta2, small
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
@@ -62,13 +68,12 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     Matches `ImuTypes.cc:ExpSO3` (:49) including the small-angle branch
     ``I + W + 0.5 W^2``.
     """
-    theta, theta2 = _theta(w)
+    theta, theta2, small = _theta(w)
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-4
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks.
     safe_t2 = jnp.where(small, 1.0, theta2)
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.sqrt(safe_t2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
@@ -84,15 +89,18 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
     # atan2 formulation: far better conditioned than arccos in float32.
-    sin_t_n = 0.5 * jnp.linalg.norm(w_skew, axis=-1)
+    # The +1e-24 keeps sqrt differentiable at theta = 0 and pi (the chain
+    # rule through norm() would otherwise leak NaN into jacfwd even for
+    # the branches jnp.where discards).
+    sin2 = 0.25 * jnp.sum(w_skew * w_skew, axis=-1)
+    sin_t_n = jnp.sqrt(sin2 + 1e-24)
     theta = jnp.arctan2(sin_t_n, cos_t)
 
     small = theta < 1e-4
     near_pi = theta > jnp.pi - 1e-3
 
     # Generic branch: w = theta / (2 sin theta) * vee(R - R^T)
-    sin_t = jnp.sin(theta)
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_t)
+    safe_sin = jnp.where(small | near_pi, 1.0, sin_t_n)
     generic = w_skew * (theta / (2.0 * safe_sin))[..., None]
 
     # Small branch: w ~= 0.5 * vee(R - R^T) * (1 + theta^2/6)
@@ -101,7 +109,9 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     # Near-pi branch: axis from diagonal of (R + I)/2 = axis axis^T near pi.
     B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    axis = jnp.sqrt(jnp.maximum(diag, 0.0))
+    # Dummy-safe sqrt argument for the rows this branch doesn't own.
+    diag_safe = jnp.where(near_pi[..., None], jnp.clip(diag, 1e-9, None), 1.0)
+    axis = jnp.sqrt(diag_safe)
     # Fix signs from off-diagonals; pick the largest-axis column for stability.
     k = jnp.argmax(diag, axis=-1)
     col = jnp.take_along_axis(B, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
@@ -121,12 +131,11 @@ def right_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
 
     Jr(w) = I - (1-cos t)/t^2 W + (t - sin t)/t^3 W^2.
     """
-    theta, theta2 = _theta(w)
+    theta, theta2, small = _theta(w)
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-4
     safe_t2 = jnp.where(small, 1.0, theta2)
-    safe_t3 = safe_t2 * jnp.sqrt(safe_t2)
+    safe_t3 = safe_t2 * theta
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -138,10 +147,9 @@ def inv_right_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
 
     Jr^-1(w) = I + 0.5 W + (1/t^2 - (1+cos t)/(2 t sin t)) W^2.
     """
-    theta, theta2 = _theta(w)
+    theta, theta2, small = _theta(w)
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-4
     safe_t2 = jnp.where(small, 1.0, theta2)
     sin_t = jnp.sin(theta)
     safe_den = jnp.where(small, 1.0, 2.0 * theta * sin_t)
@@ -261,12 +269,11 @@ def exp_se3(xi: jnp.ndarray):
     """
     rho, phi = xi[..., :3], xi[..., 3:]
     R = exp_so3(phi)
-    theta, theta2 = _theta(phi)
+    theta, theta2, small = _theta(phi)
     W = hat(phi)
     W2 = W @ W
-    small = theta < 1e-4
     safe_t2 = jnp.where(small, 1.0, theta2)
-    safe_t3 = safe_t2 * jnp.sqrt(safe_t2)
+    safe_t3 = safe_t2 * theta
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -278,10 +285,9 @@ def exp_se3(xi: jnp.ndarray):
 def log_se3(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """SE(3) -> se(3): returns [rho, phi]."""
     phi = log_so3(R)
-    theta, theta2 = _theta(phi)
+    theta, theta2, small = _theta(phi)
     W = hat(phi)
     W2 = W @ W
-    small = theta < 1e-4
     safe_t2 = jnp.where(small, 1.0, theta2)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
     safe_den = jnp.where(small, 1.0, 2.0 * safe_t2 * sin_t)

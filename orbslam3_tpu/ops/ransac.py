@@ -227,6 +227,112 @@ def _decompose_H(H):
 
 
 # ---------------------------------------------------------------------------
+# PnP RANSAC — relocalization
+# ---------------------------------------------------------------------------
+
+
+def _dlt_pnp(Xw: jnp.ndarray, rays: jnp.ndarray):
+    """Camera pose from >=6 2D-3D pairs via projection-matrix DLT +
+    rotation orthogonalization. Xw (n,3) world points, rays (n,2)
+    normalized image coords. Returns (R, t) with x ~ K [R|t] X.
+
+    Replaces the reference's MLPnP minimal solver
+    (`/root/reference/src/MLPnPsolver.cpp:computePose`): the DLT is less
+    statistically efficient per sample but we take 256 samples in one
+    batch and refine with the LM pose optimizer afterwards, which
+    dominates accuracy anyway.
+    """
+    n = Xw.shape[0]
+    Xh = jnp.concatenate([Xw, jnp.ones((n, 1), Xw.dtype)], axis=1)  # (n,4)
+    z = jnp.zeros((n, 4), Xw.dtype)
+    r1 = jnp.concatenate([Xh, z, -rays[:, 0:1] * Xh], axis=1)  # (n,12)
+    r2 = jnp.concatenate([z, Xh, -rays[:, 1:2] * Xh], axis=1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2n,12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    P = vt[-1].reshape(3, 4)
+    return _pose_from_P(P, Xh)
+
+
+def _pose_from_P(P: jnp.ndarray, Xh: jnp.ndarray):
+    """Decompose a DLT projection matrix into (R, t): fix the global sign
+    of P so projective depths are positive (cheirality), then polar-
+    decompose M = s R."""
+    w = Xh @ P[2]  # projective depths
+    sgn = jnp.where(jnp.sum(jnp.sign(w)) < 0, -1.0, 1.0)
+    P = P * sgn
+    M = P[:, :3]
+    U, S, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    R = U @ jnp.diag(jnp.asarray([1.0, 1.0, det])) @ Vt
+    scale = jnp.mean(S) * det
+    t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    return R, t
+
+
+def pnp_ransac(
+    Xw: jnp.ndarray,  # (N,3) matched map points
+    rays: jnp.ndarray,  # (N,2) normalized coords of keypoints
+    valid: jnp.ndarray,  # (N,)
+    key: jnp.ndarray,
+    sigma_norm: float,
+    n_hyp: int = 256,
+    sample: int = 6,
+    min_inliers: int = 15,
+):
+    """RANSAC pose from 2D-3D matches (`Tracking::Relocalization`'s MLPnP
+    loop, `Tracking.cc:3307-3344`). Returns (ok, R, t, inlier_mask)."""
+    w = valid.astype(jnp.float32)
+    logits = jnp.log(w + 1e-9)
+    samples = jax.random.categorical(key, logits[None, None, :], shape=(n_hyp, sample))
+    Rs, ts = jax.vmap(lambda idx: _dlt_pnp(Xw[idx], rays[idx]))(samples)
+
+    th = 5.991 * sigma_norm * sigma_norm
+
+    def count(R, t, factor=1.0):
+        Xc = Xw @ R.T + t
+        zok = Xc[:, 2] > 1e-3
+        proj = Xc[:, :2] / jnp.maximum(Xc[:, 2:3], 1e-9)
+        e = jnp.sum((proj - rays) ** 2, axis=-1)
+        inl = valid & zok & (e < th * factor)
+        return jnp.sum(inl.astype(jnp.int32)), inl
+
+    # Minimal-sample DLT poses are noisy: select with a LOOSE gate (the
+    # reference follows its RANSAC with pose-only LM, Tracking.cc:3330),
+    # then refit twice on shrinking inlier sets before the strict count.
+    counts, inls = jax.vmap(lambda R, t: count(R, t, 16.0))(Rs, ts)
+    best = jnp.argmax(counts)
+    mask = inls[best]
+
+    n = Xw.shape[0]
+    Xh = jnp.concatenate([Xw, jnp.ones((n, 1), Xw.dtype)], axis=1)
+    z = jnp.zeros((n, 4), Xw.dtype)
+
+    def refit(mask):
+        wm = mask.astype(Xw.dtype)
+        r1 = jnp.concatenate([Xh, z, -rays[:, 0:1] * Xh], axis=1) * wm[:, None]
+        r2 = jnp.concatenate([z, Xh, -rays[:, 1:2] * Xh], axis=1) * wm[:, None]
+        A = jnp.concatenate([r1, r2], axis=0)
+        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        P = vt[-1].reshape(3, 4)
+        w_depth = (Xh @ P[2]) * wm
+        P = P * jnp.where(jnp.sum(jnp.sign(w_depth)) < 0, -1.0, 1.0)
+        M = P[:, :3]
+        U, S, Vt = jnp.linalg.svd(M)
+        det = jnp.linalg.det(U @ Vt)
+        R = U @ jnp.diag(jnp.asarray([1.0, 1.0, det])) @ Vt
+        scale = jnp.mean(S) * det
+        t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+        return R, t
+
+    R, t = refit(mask)
+    _, mask2 = count(R, t, 4.0)
+    R, t = refit(mask2)
+    n_final, inl_final = count(R, t, 1.0)
+    ok = n_final >= min_inliers
+    return ok, R, t, inl_final
+
+
+# ---------------------------------------------------------------------------
 # Sim3 RANSAC (Horn closed form) — loop closing / map merging
 # ---------------------------------------------------------------------------
 

@@ -151,6 +151,22 @@ def inertial_only_optimization(
     Ecnt = edges.i.shape[0]
     w_valid = edges.valid & kf_valid[edges.i] & kf_valid[edges.j]
 
+    # Gravity-direction seed (ref `LocalMapping::InitializeIMU:1504-1526`):
+    # with zero-mean motion, sum_i R_wb_i dV_i ~= g * sum dT, so the
+    # average rotated velocity delta points along gravity. Without this
+    # seed the joint (v, g, s) problem has bad basins.
+    wv = w_valid.astype(R_wb.dtype)
+    dirG = -jnp.einsum(
+        "e,eij,ej->i", wv, R_wb[edges.i], edges.dV
+    )
+    dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0])
+    axis = jnp.cross(gI, dirG)
+    sin_a = jnp.linalg.norm(axis)
+    cos_a = jnp.dot(gI, dirG)
+    ang = jnp.arctan2(sin_a, cos_a)
+    Rwg0 = lie.exp_so3(axis / jnp.maximum(sin_a, 1e-9) * ang)
+
     def unpack(x):
         v = x[: 3 * K].reshape(K, 3)
         bg = x[3 * K : 3 * K + 3]
@@ -162,7 +178,7 @@ def inertial_only_optimization(
     def residuals(x):
         v, bg, ba, gd, log_s = unpack(x)
         s = jnp.exp(log_s) if not fix_scale else jnp.asarray(1.0)
-        Rwg = lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
+        Rwg = Rwg0 @ lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
         g = Rwg @ G0
 
         def edge_res(k):
@@ -185,7 +201,19 @@ def inertial_only_optimization(
         )
         return jnp.concatenate([r_edges, r_prior])
 
-    x0 = jnp.zeros(dim)
+    # Velocity seed: finite differences of consecutive (unscaled) chain
+    # positions — correct up to the unknown scale, which the optimizer
+    # co-estimates from there.
+    dp = p_wb[edges.j] - p_wb[edges.i]
+    v_seed = jnp.zeros((K, 3))
+    safe_dt = jnp.maximum(edges.dT, 1e-6)[:, None]
+    v_seed = v_seed.at[edges.i].add(jnp.where(wv[:, None] > 0, dp / safe_dt, 0.0))
+    v_cnt = jnp.zeros((K, 1)).at[edges.i].add(wv[:, None])
+    v_seed = v_seed.at[edges.j].add(jnp.where(wv[:, None] > 0, dp / safe_dt, 0.0))
+    v_cnt = v_cnt.at[edges.j].add(wv[:, None])
+    v_seed = v_seed / jnp.maximum(v_cnt, 1.0)
+
+    x0 = jnp.zeros(dim).at[: 3 * K].set(v_seed.reshape(-1))
 
     def step(x, lamb):
         r = residuals(x)
@@ -202,7 +230,7 @@ def inertial_only_optimization(
     x, c = lm.lm_loop((x0,), lambda p: cost(p[0]), lambda p, l: (step(p[0], l),), iters)
     v, bg, ba, gd, log_s = unpack(x[0])
     s = jnp.exp(log_s) if not fix_scale else jnp.asarray(1.0)
-    Rwg = lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
+    Rwg = Rwg0 @ lie.exp_so3(jnp.concatenate([gd, jnp.zeros(1)]))
     return InertialInitResult(scale=s, Rwg=Rwg, bg=bg, ba=ba, vel=v, cost=c)
 
 
@@ -442,12 +470,28 @@ def solve_vi_ba(
         if dense_solve:
             # The reduced KF system is tiny (15K x 15K) but stiff — the
             # whitened IMU chain has information ~1e8 against visual ~1,
-            # which defeats block-Jacobi PCG. Materialize S by pushing the
-            # identity through the matvec (one vmapped pass) and solve
-            # directly; exact and cheap for window-sized K.
+            # which defeats block-Jacobi PCG. Assemble S directly:
+            # blockdiag(Hkk) + IMU off-diagonals - the visual Schur term,
+            # the latter via per-(point, camera) 3x6 coupling blocks
+            # (one segment-sum + two einsums — no basis-matvec sweep).
             dim = K * STATE_DIM
-            basis = jnp.eye(dim).reshape(dim, K, STATE_DIM)
-            S = jax.vmap(matvec)(basis).reshape(dim, dim).T
+            pk = prob.obs_point * K + prob.obs_cam
+            JpTJx = jnp.einsum("oia,oib->oab", Jp_w, Jx_w)  # (O,3,6)
+            Bpk = _allreduce(
+                jax.ops.segment_sum(JpTJx, pk, num_segments=P * K)
+            ).reshape(P, K, 3, 6)
+            HB = jnp.einsum("pij,pkjb->pkib", Hpp_inv, Bpk)  # (P,K,3,6)
+            S_schur = jnp.einsum("pkia,plib->kalb", Bpk, HB)  # (K,6,K,6)
+
+            S = jnp.zeros((K, STATE_DIM, K, STATE_DIM))
+            diag_idx = jnp.arange(K)
+            S = S.at[diag_idx, :, diag_idx, :].add(Hkk)
+            S = S.at[prob.edges.i, :, prob.edges.j, :].add(Hij)
+            S = S.at[prob.edges.j, :, prob.edges.i, :].add(
+                jnp.swapaxes(Hij, -1, -2)
+            )
+            S = S.at[:, :6, :, :6].add(-S_schur)
+            S = S.reshape(dim, dim)
             S = 0.5 * (S + S.T)
             # Jacobi rescaling: whitened IMU rows are ~1e8 vs visual ~1,
             # which is fatal for float32 Cholesky without balancing.

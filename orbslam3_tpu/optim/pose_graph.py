@@ -65,16 +65,27 @@ def _edge_res_and_jac(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
     return r, Ji, Jj
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def solve_pose_graph(g: PoseGraph, iters: int = 20, lam: float = 1e-6):
+@functools.partial(jax.jit, static_argnames=("iters", "dof4"))
+def solve_pose_graph(g: PoseGraph, iters: int = 20, lam: float = 1e-6,
+                     dof4: bool = False):
     """Gauss-Newton with tiny fixed damping (the problem is well-posed
     once >=1 vertex is fixed). Returns corrected (R, t, s).
 
     Budget mirrors the reference's 20 iterations
     (`Optimizer.cc:2812: optimizer.optimize(20)`).
+
+    `dof4=True` restricts updates to translation + yaw with unit scale —
+    the inertial essential graph (`Optimizer::OptimizeEssentialGraph4DoF`
+    `Optimizer.cc:8604`): gravity pins roll/pitch and the IMU pins scale,
+    so only 4 DoF may drift.
     """
     K = g.R.shape[0]
     dim = 7 * K
+    # Free tangent dims per vertex: [rho(3), phi(3), sigma].
+    if dof4:
+        free_dims = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0])
+    else:
+        free_dims = jnp.ones(7)
 
     def body(_, state):
         R, t, s = state
@@ -84,9 +95,9 @@ def solve_pose_graph(g: PoseGraph, iters: int = 20, lam: float = 1e-6):
             Ri, ti, si, Rj, tj, sj, g.edge_R, g.edge_t, g.edge_s
         )  # (E,7), (E,7,7), (E,7,7)
         w = jnp.where(g.edge_valid, g.edge_weight, 0.0)
-        # Zero out columns of fixed vertices.
-        Ji = Ji * (~g.fixed[g.edge_i])[:, None, None]
-        Jj = Jj * (~g.fixed[g.edge_j])[:, None, None]
+        # Zero out columns of fixed vertices and frozen DoF.
+        Ji = Ji * (~g.fixed[g.edge_i])[:, None, None] * free_dims[None, None, :]
+        Jj = Jj * (~g.fixed[g.edge_j])[:, None, None] * free_dims[None, None, :]
         rw = r * w[:, None]
 
         # Dense normal equations via scatter-add of 7x7 blocks.

@@ -94,11 +94,11 @@ def optimize_pose(
     huber2_stereo = lm.CHI2_STEREO
 
     def gn_iteration(carry, _):
-        R, t, lamb, active = carry
+        R, t, lamb, active, hub_mult = carry
         e, J, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
         ok = ok & active
         c2, inv_s2 = _chi2(e, obs, is_stereo)
-        delta2 = jnp.where(is_stereo, huber2_stereo, huber2_mono)
+        delta2 = jnp.where(is_stereo, huber2_stereo, huber2_mono) * hub_mult
         w_rob = lm.huber_weight(c2, delta2)
         w = jnp.where(ok, inv_s2 * w_rob, 0.0)
         # H = sum J^T w J (6,6); b = sum J^T w e
@@ -116,7 +116,7 @@ def optimize_pose(
             c2_, inv_ = _chi2(e_, obs, st_)
             ok_ = ok_ & active
             # Huber rho(chi2)
-            d2 = jnp.where(st_, huber2_stereo, huber2_mono)
+            d2 = jnp.where(st_, huber2_stereo, huber2_mono) * hub_mult
             rho = jnp.where(
                 c2_ <= d2, c2_, 2.0 * jnp.sqrt(d2 * jnp.maximum(c2_, 1e-12)) - d2
             )
@@ -128,14 +128,21 @@ def optimize_pose(
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lamb = jnp.clip(jnp.where(accept, lamb * 0.5, lamb * 4.0), 1e-9, 1e6)
-        return (R, t, lamb, active), None
+        return (R, t, lamb, active, hub_mult), None
 
     R, t = R0, t0
     active = obs.valid
-    for _ in range(rounds):
-        (R, t, _, active), _ = jax.lax.scan(
+    for rnd in range(rounds):
+        # Round 0 widens the Huber quadratic region 10x: a cold start
+        # (identity prior) with small image motion otherwise stalls in a
+        # spurious stationary point where capped outlier pulls cancel the
+        # capped inlier pulls. The reference sidesteps this with warm
+        # motion-model priors and by dropping the robust kernel after two
+        # rounds (`Optimizer.cc:1120-1140 e->setRobustKernel(0)`).
+        hub = 10.0 if rnd == 0 else 1.0
+        (R, t, _, active, _), _ = jax.lax.scan(
             gn_iteration,
-            (R, t, jnp.asarray(1e-4, R0.dtype), active),
+            (R, t, jnp.asarray(1e-4, R0.dtype), active, jnp.asarray(hub, R0.dtype)),
             None,
             length=iters_per_round,
         )

@@ -33,6 +33,7 @@ class FrameData:
     t: np.ndarray  # (3,)
     mp_assoc: np.ndarray  # (Nf,) int32 map-point id per feature (-1 none)
     ur: Optional[np.ndarray] = None  # (Nf,) stereo right-u
+    depth: Optional[np.ndarray] = None  # (Nf,) stereo/RGB-D depth
 
     @property
     def n_features(self) -> int:

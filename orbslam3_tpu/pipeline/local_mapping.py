@@ -277,7 +277,8 @@ class LocalMapper:
     """Synchronous local mapping (one call per keyframe insertion)."""
 
     def __init__(self, model, params, img_wh, store: st.MapStore,
-                 orb_params: feat.OrbParams = feat.OrbParams(), bf: float = 0.0):
+                 orb_params: feat.OrbParams = feat.OrbParams(), bf: float = 0.0,
+                 imu_calib=None, mono: bool = True):
         self.model = model
         self.params = params
         self.img_wh = np.asarray(img_wh, np.float32)
@@ -287,8 +288,23 @@ class LocalMapper:
         self.scale_table = jnp.asarray(feat.scale_factors(orb_params))
         self.focal = float(params[0])
         self.recent_mp: list[tuple[int, np.ndarray]] = []  # (birth_kf, slots)
+        # IMU: per-KF preintegration from its prev KF + init staging.
+        self.imu_calib = imu_calib
+        self.preints: dict[int, object] = {}
+        self.imu_init = None
+        self.tracker = None  # backref set by System (imu_ready flag sync)
+        if imu_calib is not None:
+            from orbslam3_tpu.pipeline.inertial_support import ImuInitializer
 
-    def process_keyframe(self, kf_id: int, initial: bool = False):
+            self.imu_init = ImuInitializer(imu_calib, mono=mono)
+
+    @property
+    def imu_initialized(self) -> bool:
+        return self.imu_init is not None and self.imu_init.initialized
+
+    def process_keyframe(self, kf_id: int, initial: bool = False, preint=None):
+        if preint is not None:
+            self.preints[kf_id] = preint
         if initial:
             # Initial map: full BA over the two first KFs
             # (`GlobalBundleAdjustemnt(20)`, Tracking.cc:1948).
@@ -297,7 +313,26 @@ class LocalMapper:
         self._cull_points(kf_id)
         self._create_new_points(kf_id)
         self._fuse_neighbors(kf_id)
-        self._local_ba(kf_id)
+        if self.imu_initialized:
+            self._local_inertial_ba(kf_id)
+        else:
+            self._local_ba(kf_id)
+        self._cull_keyframes(kf_id)
+        if self.imu_init is not None and not self.imu_init.initialized:
+            self._try_imu_init(kf_id)
+        elif self.imu_init is not None and kf_id % 10 == 0:
+            # Periodic scale/gravity refinement (`ScaleRefinement`,
+            # `LocalMapping.cc:261-273`).
+            self.imu_init.refine_scale(
+                self.store, self.preints,
+                np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
+            )
+            if self.tracker is not None:
+                s = self.store.state
+                kf_j = jnp.asarray(kf_id)
+                self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
+                self.tracker.bias_g = np.asarray(s.kf_bias_g[kf_j])
+                self.tracker.bias_a = np.asarray(s.kf_bias_a[kf_j])
 
     # ------------------------------------------------------------------
     def _covisible(self, kf_id: int, n: int) -> np.ndarray:
@@ -316,20 +351,22 @@ class LocalMapper:
         neighbors = self._covisible(kf_id, 10)
         if len(neighbors) == 0 and self.store.n_kf >= 2:
             neighbors = np.asarray([kf_id - 1], np.int32)
-        free_cur = np.asarray((s.kf_mp[kf_id] < 0) & s.kf_feat_valid[kf_id])
+        kf_j = jnp.asarray(kf_id)
+        free_cur = np.asarray((s.kf_mp[kf_j] < 0) & s.kf_feat_valid[kf_j])
         claimed = np.zeros_like(free_cur)
         for nb in neighbors:
             s = self.store.state
+            nb_j = jnp.asarray(int(nb))
             # Baseline check (LocalMapping.cc:540): skip if baseline too
             # short vs median scene depth — approximated by 1% of median
             # point depth in the neighbor frame.
             Xw, good, idx2 = triangulate_pair(
                 self.model, self.params,
-                s.kf_R[kf_id], s.kf_t[kf_id], s.kf_R[nb], s.kf_t[nb],
-                s.kf_uv[kf_id], s.kf_octave[kf_id], s.kf_desc[kf_id],
+                s.kf_R[kf_j], s.kf_t[kf_j], s.kf_R[nb_j], s.kf_t[nb_j],
+                s.kf_uv[kf_j], s.kf_octave[kf_j], s.kf_desc[kf_j],
                 jnp.asarray(free_cur & ~claimed),
-                s.kf_uv[nb], s.kf_octave[nb], s.kf_desc[nb],
-                (s.kf_mp[nb] < 0) & s.kf_feat_valid[nb],
+                s.kf_uv[nb_j], s.kf_octave[nb_j], s.kf_desc[nb_j],
+                (s.kf_mp[nb_j] < 0) & s.kf_feat_valid[nb_j],
                 self.sigma2_table, self.scale_table, self.focal,
             )
             good_np = np.asarray(good)
@@ -338,31 +375,41 @@ class LocalMapper:
                 continue
             sel = np.flatnonzero(good_np)
             slots = self.store.alloc_mps(n_new)
-            Xw_np = np.asarray(Xw)[sel]
-            desc = np.asarray(s.kf_desc[kf_id])[sel]
+            # FIXED-SHAPE insert: pad to Nf rows targeting the dump slot so
+            # every call reuses one compiled executable (variable-length
+            # scatters would mint a new XLA program per size).
+            CAP = s.Nf
+            pad = CAP - n_new
+            slots_p = np.concatenate([slots, np.full(pad, self.store.dump_slot, np.int32)])
+            valid_p = np.concatenate([np.ones(n_new, bool), np.zeros(pad, bool)])
+            sel_p = np.concatenate([sel, np.zeros(pad, np.int64)])
+            Xw_np = np.asarray(Xw)[sel_p]
+            desc = np.asarray(s.kf_desc[kf_j])[sel_p]
             # Normal & scale band from the current KF.
-            Rwc = np.asarray(s.kf_R[kf_id]).T
-            Ow = -Rwc @ np.asarray(s.kf_t[kf_id])
+            Rwc = np.asarray(s.kf_R[kf_j]).T
+            Ow = -Rwc @ np.asarray(s.kf_t[kf_j])
             vec = Xw_np - Ow
             dist = np.linalg.norm(vec, axis=-1)
             normal = vec / np.maximum(dist[:, None], 1e-9)
-            octs = np.asarray(s.kf_octave[kf_id])[sel]
+            octs = np.asarray(s.kf_octave[kf_j])[sel_p]
             sf = np.asarray(self.scale_table)
             max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
             min_d = max_d / sf[-1]
             new_state = st.add_points(
-                s, jnp.asarray(slots), jnp.asarray(Xw_np, jnp.float32),
+                s, jnp.asarray(slots_p), jnp.asarray(Xw_np, jnp.float32),
                 jnp.asarray(desc), jnp.asarray(normal, jnp.float32),
                 jnp.asarray(min_d, jnp.float32), jnp.asarray(max_d, jnp.float32),
-                jnp.full(n_new, kf_id, jnp.int32), jnp.ones(n_new, bool),
+                jnp.full(CAP, kf_id, jnp.int32), jnp.asarray(valid_p),
             )
-            # Associations in both KFs.
-            new_state = st.set_associations(
-                new_state, kf_id, jnp.asarray(sel, jnp.int32), jnp.asarray(slots)
-            )
+            # Associations in both KFs: whole-row writes (fixed shape).
+            row1 = np.asarray(new_state.kf_mp[kf_j]).copy()
+            row1[sel] = slots
+            row2 = np.asarray(new_state.kf_mp[nb_j]).copy()
             idx2_np = np.asarray(idx2)[sel]
-            new_state = st.set_associations(
-                new_state, int(nb), jnp.asarray(idx2_np, jnp.int32), jnp.asarray(slots)
+            row2[idx2_np] = slots
+            new_state = new_state._replace(
+                kf_mp=new_state.kf_mp.at[kf_j].set(jnp.asarray(row1))
+                .at[nb_j].set(jnp.asarray(row2))
             )
             self.store.state = new_state
             claimed[sel] = True
@@ -374,16 +421,17 @@ class LocalMapper:
         project current-KF points into neighbors."""
         s = self.store.state
         neighbors = self._covisible(kf_id, 10)
-        cand = np.asarray(s.kf_mp[kf_id])
+        cand = np.asarray(s.kf_mp[jnp.asarray(kf_id)])
         cand_ids = jnp.asarray(np.where(cand >= 0, cand, 0))
         cand_valid = jnp.asarray(cand >= 0)
         for nb in neighbors:
+            nb_j = jnp.asarray(int(nb))
             new_row, n_fused = fuse_into_kf(
-                self.model, self.params, self.store.state, int(nb),
+                self.model, self.params, self.store.state, nb_j,
                 cand_ids, cand_valid, jnp.asarray(self.img_wh), self.sigma2_table,
             )
             self.store.state = self.store.state._replace(
-                kf_mp=self.store.state.kf_mp.at[int(nb)].set(new_row)
+                kf_mp=self.store.state.kf_mp.at[nb_j].set(new_row)
             )
 
     def _local_ba(self, kf_id: int):
@@ -422,6 +470,60 @@ class LocalMapper:
         self.store.state = new_state
         self.store.bump()
 
+    def _cull_keyframes(self, kf_id: int, keep_recent: int = 3):
+        """`KeyFrameCulling` (`LocalMapping.cc:1170`): erase covisible KFs
+        whose map points are >=90% redundant (seen by >=3 other KFs).
+        The reference adds a same-or-finer-scale condition on the other
+        observers; we count all observers (slightly more aggressive).
+        Never culls KF0, the `keep_recent` newest KFs, or (inertial mode)
+        the temporal window the IMU chain needs (Nd=21 guard,
+        `LocalMapping.cc:1176-1198`)."""
+        s = self.store.state
+        nkf = self.store.n_kf
+        protected = {0, kf_id}
+        protected.update(range(max(0, nkf - keep_recent), nkf))
+        if self.imu_calib is not None:
+            protected.update(range(max(0, nkf - 21), nkf))
+        candidates = [c for c in self._covisible(kf_id, 10) if int(c) not in protected]
+        if not candidates:
+            return
+        observers = np.asarray(st.point_observers(s))
+        kf_mp = np.asarray(s.kf_mp)
+        valid = np.asarray(s.kf_valid)
+        for c in candidates:
+            c = int(c)
+            if not valid[c]:
+                continue
+            row = kf_mp[c]
+            pts = row[row >= 0]
+            if len(pts) < 20:
+                continue
+            redundant = (observers[pts] >= 4).sum()  # self + 3 others
+            if redundant >= 0.9 * len(pts):
+                self.store.state = st.erase_keyframe(self.store.state, jnp.asarray(c))
+                self.store.free_kf_slots.append(c)
+                # Keep the temporal chain linked past the hole.
+                prev = np.asarray(self.store.state.kf_prev)
+                heirs = np.flatnonzero(prev[: self.store.n_kf] == c)
+                for h in heirs:
+                    h = int(h)
+                    self.store.state = self.store.state._replace(
+                        kf_prev=self.store.state.kf_prev.at[jnp.asarray(h)].set(
+                            int(prev[c])
+                        )
+                    )
+                    # Keep the IMU chain integral: the heir's window must
+                    # absorb the culled KF's (ref merges preintegrations
+                    # on culling via mpImuPreintegrated->MergePrevious).
+                    if c in self.preints and h in self.preints:
+                        from orbslam3_tpu.ops import imu as imu_ops
+
+                        self.preints[h] = imu_ops.merge(
+                            self.preints[c], self.preints[h], self.imu_calib
+                        )
+                self.preints.pop(c, None)
+        self.store.bump()
+
     def _cull_points(self, kf_id: int):
         """`MapPointCulling` (`LocalMapping.cc:435`): recently created
         points must gain >=3 observers within 2 KFs of birth."""
@@ -443,10 +545,164 @@ class LocalMapper:
         if erase_slots:
             bad = np.concatenate(erase_slots)
             if len(bad):
-                self.store.state = st.erase_points(
-                    s, jnp.asarray(bad, jnp.int32), jnp.ones(len(bad), bool)
-                )
+                CAP = 1024
+                for start in range(0, len(bad), CAP):
+                    chunk = bad[start : start + CAP]
+                    pad = CAP - len(chunk)
+                    ids = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+                    mask = np.concatenate(
+                        [np.ones(len(chunk), bool), np.zeros(pad, bool)]
+                    )
+                    self.store.state = st.erase_points(
+                        self.store.state, jnp.asarray(ids, jnp.int32), jnp.asarray(mask)
+                    )
                 self.store.free_mp_slots.extend(int(b) for b in bad)
+
+    # ------------------------------------------------------------------
+    # Inertial staging
+    # ------------------------------------------------------------------
+    def _try_imu_init(self, kf_id: int):
+        """`LocalMapping::InitializeIMU` (`LocalMapping.cc:1448`)."""
+        from orbslam3_tpu.pipeline import inertial_support as isup
+
+        ok = self.imu_init.try_initialize(
+            self.store, self.preints,
+            np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
+        )
+        if ok:
+            # VIBA1 (`LocalMapping.cc:232-242` / `FullInertialBA`): joint
+            # visual-inertial BA right after alignment — the reprojection
+            # terms let poses bend to the IMU, sharpening scale/gravity
+            # well beyond the pose-fixed initializer.
+            self._local_inertial_ba(kf_id, window=min(self.store.n_kf, 24))
+        if ok and self.tracker is not None:
+            self.tracker.imu_ready = True
+            s = self.store.state
+            kf_j = jnp.asarray(kf_id)
+            self.tracker.bias_g = np.asarray(s.kf_bias_g[kf_j])
+            self.tracker.bias_a = np.asarray(s.kf_bias_a[kf_j])
+            self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
+
+    def _local_inertial_ba(self, kf_id: int, window: int = 10):
+        """`Optimizer::LocalInertialBA` (`Optimizer.cc:4753`): temporal
+        sliding window of the last Nd KFs + one fixed anchor; visual obs of
+        window points + IMU chain + bias RW."""
+        from orbslam3_tpu.optim import inertial as vi
+        from orbslam3_tpu.pipeline import inertial_support as isup
+
+        s = self.store.state
+        nkf = self.store.n_kf
+        # Temporal chain backwards from kf_id.
+        chain = [kf_id]
+        prev = np.asarray(s.kf_prev)
+        while len(chain) < window + 1 and prev[chain[-1]] >= 0:
+            chain.append(int(prev[chain[-1]]))
+        chain = chain[::-1]  # oldest first; chain[0] = anchor (pose-fixed)
+        K_real = len(chain)
+        if K_real < 3:
+            return self._local_ba(kf_id)
+        # Pad to a fixed window size with copies of the anchor (fixed, no
+        # obs, no edges) so the VI-BA program compiles once.
+        K = window + 1
+        chain = chain + [chain[0]] * (K - K_real)
+
+        Rbc = np.asarray(self.imu_calib.Rbc)
+        tbc = np.asarray(self.imu_calib.tbc)
+        kf_R_np = np.asarray(s.kf_R)
+        kf_t_np = np.asarray(s.kf_t)
+        R_wb = np.zeros((K, 3, 3), np.float32)
+        p_wb = np.zeros((K, 3), np.float32)
+        for n_, k in enumerate(chain):
+            R_wb[n_], p_wb[n_] = isup.cam_to_body(kf_R_np[k], kf_t_np[k], Rbc, tbc)
+        state = vi.BodyState(
+            R=jnp.asarray(R_wb), p=jnp.asarray(p_wb),
+            v=s.kf_vel[jnp.asarray(chain)],
+            bg=s.kf_bias_g[jnp.asarray(chain)],
+            ba=s.kf_bias_a[jnp.asarray(chain)],
+        )
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        fixed[K_real:] = True  # padding entries
+
+        # Edges between consecutive REAL chain members with stored
+        # preints, padded to K-1 with invalid self-edges (0->0).
+        ei, ej, pres, ev = [], [], [], []
+        for n_ in range(1, K_real):
+            if chain[n_] in self.preints:
+                ei.append(n_ - 1)
+                ej.append(n_)
+                pres.append(self.preints[chain[n_]])
+                ev.append(True)
+        if len(pres) < 2:
+            return self._local_ba(kf_id)
+        n_edges = len(pres)
+        while len(pres) < K - 1:
+            ei.append(0)
+            ej.append(0)
+            pres.append(pres[0])
+            ev.append(False)
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        edges = vi.make_imu_edges(
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            batch, jnp.asarray(ev),
+        )
+
+        # Visual observations: window KFs' features on window points.
+        win_mp = s.kf_mp[jnp.asarray(chain)]
+        wok = win_mp >= 0
+        win_mask = jnp.zeros((s.Pmax,), bool).at[jnp.clip(win_mp, 0)].max(wok)
+        win_mask &= s.mp_valid
+        Nf = s.Nf
+        obs_mp = win_mp.reshape(-1)
+        obs_cam = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Nf)
+        real_row = (jnp.arange(K) < K_real)[:, None].repeat(Nf, 1).reshape(-1)
+        obs_valid = (
+            (obs_mp >= 0) & s.kf_feat_valid[jnp.asarray(chain)].reshape(-1) & real_row
+        )
+        obs_oct = s.kf_octave[jnp.asarray(chain)].reshape(-1)
+        # Tcb (camera <- body) from Tbc (body <- camera).
+        Tcb_R = Rbc.T
+        Tcb_t = -Rbc.T @ tbc
+        prob = vi.VIProblem(
+            state=state, kf_fixed=jnp.asarray(fixed),
+            Tcb_R=jnp.asarray(Tcb_R), Tcb_t=jnp.asarray(Tcb_t),
+            points=s.mp_pos, point_valid=win_mask,
+            obs_cam=obs_cam, obs_point=jnp.clip(obs_mp.reshape(-1), 0),
+            obs_uv=s.kf_uv[jnp.asarray(chain)].reshape(-1, 2),
+            obs_sigma2=self.sigma2_table[jnp.clip(obs_oct, 0, self.sigma2_table.shape[0] - 1)],
+            obs_valid=obs_valid,
+            edges=edges,
+        )
+
+        res = vi.solve_vi_ba_jit(self.model, self.params, prob, iters=6, pcg_iters=40)
+
+        # Write back: body -> camera poses, velocities, biases, points.
+        newR = np.asarray(res.state.R)
+        newp = np.asarray(res.state.p)
+        ss = self.store.state
+        upd_ids, upd_R, upd_t = [], [], []
+        for n_, k in enumerate(chain[:K_real]):
+            if fixed[n_]:
+                continue
+            Rcw, tcw = isup.body_to_cam(newR[n_], newp[n_], Rbc, tbc)
+            upd_ids.append(k)
+            upd_R.append(Rcw)
+            upd_t.append(tcw)
+        if upd_ids:
+            idx = jnp.asarray(upd_ids, jnp.int32)
+            ss = ss._replace(
+                kf_R=ss.kf_R.at[idx].set(jnp.asarray(np.stack(upd_R), jnp.float32)),
+                kf_t=ss.kf_t.at[idx].set(jnp.asarray(np.stack(upd_t), jnp.float32)),
+            )
+        real = jnp.asarray(chain[:K_real])
+        ss = ss._replace(
+            kf_vel=ss.kf_vel.at[real].set(res.state.v[:K_real]),
+            kf_bias_g=ss.kf_bias_g.at[real].set(res.state.bg[:K_real]),
+            kf_bias_a=ss.kf_bias_a.at[real].set(res.state.ba[:K_real]),
+            mp_pos=jnp.where(win_mask[:, None], res.points, ss.mp_pos),
+        )
+        self.store.state = ss
+        self.store.bump()
 
     def _global_ba_small(self, kf_id: int):
         """Initial-map BA: optimize both initial KFs (first fixed)."""

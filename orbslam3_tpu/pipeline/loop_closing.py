@@ -66,7 +66,8 @@ class LoopCloser:
     def process_keyframe(self, kf_id: int) -> bool:
         """Returns True if a loop was closed at this keyframe."""
         s = self.store.state
-        self.kfdb.add(kf_id, s.kf_desc[kf_id], s.kf_feat_valid[kf_id])
+        kf_j = jnp.asarray(kf_id)
+        self.kfdb.add(kf_id, s.kf_desc[kf_j], s.kf_feat_valid[kf_j])
         if self.store.n_kf < self.min_kfs:  # ref guard LoopClosing.cc:331
             return False
         if kf_id - self.last_loop_kf < 10:  # cool-down after a closure
@@ -88,14 +89,16 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _verify_and_correct(self, kf_id: int, cand: int) -> bool:
         s = self.store.state
+        kf_j = jnp.asarray(kf_id)
+        cd_j = jnp.asarray(cand)
         # 1) descriptor matches between the two KFs, restricted to features
         #    with map points (3D-3D pairs for Horn).
-        mp1 = np.asarray(s.kf_mp[kf_id])
-        mp2 = np.asarray(s.kf_mp[cand])
-        has1 = jnp.asarray(mp1 >= 0) & s.kf_feat_valid[kf_id]
-        has2 = jnp.asarray(mp2 >= 0) & s.kf_feat_valid[cand]
+        mp1 = np.asarray(s.kf_mp[kf_j])
+        mp2 = np.asarray(s.kf_mp[cd_j])
+        has1 = jnp.asarray(mp1 >= 0) & s.kf_feat_valid[kf_j]
+        has2 = jnp.asarray(mp2 >= 0) & s.kf_feat_valid[cd_j]
         m = matching.match_nn(
-            s.kf_desc[kf_id], s.kf_desc[cand], has1, has2,
+            s.kf_desc[kf_j], s.kf_desc[cd_j], has1, has2,
             max_dist=matching.TH_LOW, ratio=0.75, cross_check=True,
         )
         n_m = int(np.asarray(m.valid).sum())
@@ -108,18 +111,18 @@ class LoopCloser:
         valid = np.asarray(m.valid)
         pts1_w = np.asarray(s.mp_pos)[np.clip(mp1, 0, None)]
         pts2_w = np.asarray(s.mp_pos)[np.clip(mp2[np.clip(idx2, 0, None)], 0, None)]
-        R1, t1 = np.asarray(s.kf_R[kf_id]), np.asarray(s.kf_t[kf_id])
-        R2, t2 = np.asarray(s.kf_R[cand]), np.asarray(s.kf_t[cand])
+        R1, t1 = np.asarray(s.kf_R[kf_j]), np.asarray(s.kf_t[kf_j])
+        R2, t2 = np.asarray(s.kf_R[cd_j]), np.asarray(s.kf_t[cd_j])
         X1 = (R1 @ pts1_w.T).T + t1  # in KF1 camera frame
         X2 = (R2 @ pts2_w.T).T + t2
 
         s2t = np.asarray(self.sigma2_table)
-        oct1 = np.asarray(s.kf_octave[kf_id])
-        oct2 = np.asarray(s.kf_octave[cand])[np.clip(idx2, 0, None)]
+        oct1 = np.asarray(s.kf_octave[kf_j])
+        oct2 = np.asarray(s.kf_octave[cd_j])[np.clip(idx2, 0, None)]
         err1 = 9.21 * s2t[np.clip(oct1, 0, len(s2t) - 1)]
         err2 = 9.21 * s2t[np.clip(oct2, 0, len(s2t) - 1)]
-        uv1 = np.asarray(s.kf_uv[kf_id])
-        uv2 = np.asarray(s.kf_uv[cand])[np.clip(idx2, 0, None)]
+        uv1 = np.asarray(s.kf_uv[kf_j])
+        uv2 = np.asarray(s.kf_uv[cd_j])[np.clip(idx2, 0, None)]
 
         model, params = self.model, self.params
         proj = lambda X: cam.project(model, params, X)

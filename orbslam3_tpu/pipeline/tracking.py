@@ -219,6 +219,7 @@ class Tracker:
         store: st.MapStore,
         orb_params: feat.OrbParams = feat.OrbParams(),
         bf: float = 0.0,
+        imu_calib=None,  # ops.imu.ImuCalib for inertial modes
     ):
         self.model = model
         self.params = params
@@ -226,13 +227,15 @@ class Tracker:
         self.store = store
         self.orb = orb_params
         self.bf = bf
+        self.th_depth = 35.0  # ref ThDepth (close/far stereo gate)
         self.state = TrackState.NO_IMAGES_YET
         self.sigma2_table = jnp.asarray(feat.sigma2(orb_params))
         self.scale_table = jnp.asarray(feat.scale_factors(orb_params))
 
         self.last_frame: Optional[fr.FrameData] = None
         self.init_frame: Optional[fr.FrameData] = None
-        self.ref_kf: int = -1
+        self.ref_kf: int = -1  # covisibility reference (ref mpReferenceKF)
+        self.last_kf_id: int = -1  # temporal chain anchor (ref mpLastKeyFrame)
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (R, t) of Tcl
         self.frames_since_kf = 0
         self.frame_id = 0
@@ -241,18 +244,114 @@ class Tracker:
         self.new_kf_callback = None  # set by System: runs local mapping
         self.match_inliers = 0
 
+        # --- inertial plumbing (ref Tracking.cc:621-850) ---------------
+        self.imu_calib = imu_calib
+        if imu_calib is not None:
+            from orbslam3_tpu.pipeline import inertial_support as isup
+
+            self.imu_queue = isup.ImuQueue()
+            self.Rbc = np.asarray(imu_calib.Rbc)
+            self.tbc = np.asarray(imu_calib.tbc)
+        self.imu_ready = False  # set by local mapping after IMU init
+        self.pre_from_kf = None  # accumulated Preintegrated since last KF
+        self.pre_frame = None  # Preintegrated over the last frame gap
+        self.body_vel = np.zeros(3, np.float32)
+        self.bias_g = np.zeros(3, np.float32)
+        self.bias_a = np.zeros(3, np.float32)
+
+    def grab_imu(self, t: float, acc, gyro):
+        """`Tracking::GrabImuData`."""
+        self.imu_queue.push(t, acc, gyro)
+
     # -- helpers --------------------------------------------------------
     def _extract(self, img: np.ndarray) -> feat.Features:
         return feat.extract(jnp.asarray(img, jnp.float32), self.orb)
 
     def _record_pose(self, ts, R, t):
-        Rwc = np.asarray(R).T
-        twc = -Rwc @ np.asarray(t)
-        self.trajectory.append((ts, Rwc, twc))
+        """Log the frame pose RELATIVE to its reference keyframe (ref
+        `Tracking.cc:1589-1606` mlRelativeFramePoses): trajectory export
+        then chains through the CURRENT keyframe poses, so later BA/loop
+        corrections propagate to the frame trajectory
+        (`System::SaveTrajectoryEuRoC`, `System.cc:599`)."""
+        R = np.asarray(R)
+        t = np.asarray(t)
+        if self.ref_kf >= 0:
+            rk = jnp.asarray(self.ref_kf)
+            R_r = np.asarray(self.store.state.kf_R[rk])
+            t_r = np.asarray(self.store.state.kf_t[rk])
+            # T_cr = T_cw * T_rw^-1
+            R_cr = R @ R_r.T
+            t_cr = t - R_cr @ t_r
+            self.trajectory.append((ts, self.ref_kf, R_cr, t_cr))
+        else:
+            self.trajectory.append((ts, -1, R, t))
+
+    def reconstructed_trajectory(self):
+        """(ts, Rwc, twc) per frame, chained through current KF poses."""
+        kf_R = np.asarray(self.store.state.kf_R)
+        kf_t = np.asarray(self.store.state.kf_t)
+        out = []
+        for ts, ref, R_cr, t_cr in self.trajectory:
+            if ref >= 0:
+                R_cw = R_cr @ kf_R[ref]
+                t_cw = R_cr @ kf_t[ref] + t_cr
+            else:
+                R_cw, t_cw = R_cr, t_cr
+            Rwc = R_cw.T
+            out.append((ts, Rwc, -Rwc @ t_cw))
+        return out
 
     # -- main entry -----------------------------------------------------
+    def process_stereo_frame(
+        self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float
+    ) -> fr.FrameData:
+        """Stereo entry (`GrabImageStereo` `Tracking.cc:375`): extract both
+        images, scanline-match for per-feature depth, then track with
+        3-dof (u, v, u_right) residuals. Initialization is single-frame
+        (`StereoInitialization` `Tracking.cc:1614`)."""
+        from orbslam3_tpu.ops import stereo as stereo_ops
+
+        f = self._extract(img_left)
+        f_r = self._extract(img_right)
+        sm = stereo_ops.match_stereo_rectified(
+            f, f_r, jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32), self.bf, self.scale_table,
+        )
+        # Trust stereo depth only for CLOSE points (ref ThDepth rule,
+        # `Tracking.cc:1616`: depth < ThDepth * baseline); far features are
+        # handled monocularly and triangulated across keyframes instead.
+        depth = np.asarray(sm.depth)
+        ur = np.asarray(sm.ur).copy()
+        close = depth < self.th_depth * (self.bf / float(self.params[0]))
+        ur[~close] = -1.0
+        depth = np.where(close, depth, -1.0)
+        return self._process_with_features(f, timestamp, ur=ur, depth=depth)
+
+    def process_rgbd_frame(
+        self, img: np.ndarray, depth_map: np.ndarray, timestamp: float
+    ) -> fr.FrameData:
+        """RGB-D entry (`GrabImageRGBD` `Tracking.cc:447`)."""
+        from orbslam3_tpu.ops import stereo as stereo_ops
+
+        f = self._extract(img)
+        sm = stereo_ops.depth_to_ur(
+            f.uv, f.valid, jnp.asarray(depth_map, jnp.float32), self.bf
+        )
+        return self._process_with_features(
+            f, timestamp, ur=np.asarray(sm.ur), depth=np.asarray(sm.depth)
+        )
+
     def process_frame(self, img: np.ndarray, timestamp: float) -> fr.FrameData:
         f = self._extract(img)
+        return self._process_with_features(f, timestamp)
+
+    def _process_with_features(
+        self,
+        f: feat.Features,
+        timestamp: float,
+        ur: Optional[np.ndarray] = None,
+        depth: Optional[np.ndarray] = None,
+    ) -> fr.FrameData:
         cur = fr.FrameData(
             features=f,
             timestamp=timestamp,
@@ -260,13 +359,40 @@ class Tracker:
             R=np.eye(3, dtype=np.float32),
             t=np.zeros(3, np.float32),
             mp_assoc=np.full(f.n, -1, np.int32),
+            ur=ur,
+            depth=depth,
         )
         self.frame_id += 1
 
+        # IMU preintegration over the frame gap (`PreintegrateIMU`).
+        if self.imu_calib is not None and self.last_frame is not None:
+            from orbslam3_tpu.ops import imu as imu_ops
+            from orbslam3_tpu.pipeline import inertial_support as isup
+
+            self.pre_frame = isup.preintegrate_window(
+                self.imu_queue, self.last_frame.timestamp, timestamp,
+                self.bias_g, self.bias_a, self.imu_calib,
+            )
+            if self.pre_frame is not None:
+                self.pre_from_kf = (
+                    self.pre_frame
+                    if self.pre_from_kf is None
+                    else imu_ops.merge(self.pre_from_kf, self.pre_frame, self.imu_calib)
+                )
+
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._initialize_mono(cur)
+            if cur.ur is not None:
+                self._initialize_stereo(cur)
+            else:
+                self._initialize_mono(cur)
         else:
-            ok = self._track(cur)
+            relocalized = False
+            if self.state in (TrackState.RECENTLY_LOST, TrackState.LOST):
+                # `Tracking::Relocalization` (Tracking.cc:3248).
+                relocalized = self._relocalize(cur)
+                if relocalized:
+                    self.velocity = None
+            ok = self._track(cur, have_pose=relocalized)
             if ok:
                 self.state = TrackState.OK
                 self.lost_count = 0
@@ -281,6 +407,57 @@ class Tracker:
         return cur
 
     # -- initialization --------------------------------------------------
+    def _initialize_stereo(self, cur: fr.FrameData, min_features: int = 300):
+        """`StereoInitialization` (`Tracking.cc:1614`): seed the map from
+        ONE frame — every feature with valid depth becomes a map point at
+        its back-projected position (metric scale from the baseline)."""
+        if cur.n_features < min_features or cur.depth is None:
+            return
+        depth = cur.depth
+        kp_ok = np.asarray(cur.features.valid) & (depth > 0)
+        n_new = int(kp_ok.sum())
+        if n_new < 100:
+            return
+        rays = np.asarray(cam.unproject(self.model, self.params, cur.features.uv))
+        Xc = rays * depth[:, None]
+        sel = np.flatnonzero(kp_ok)
+        slots = self.store.alloc_mps(n_new)
+        pos = Xc[sel]  # identity first pose: camera frame == world
+        dist = np.linalg.norm(pos, axis=-1)
+        normal = pos / np.maximum(dist[:, None], 1e-9)
+        octs = np.asarray(cur.features.octave)[sel]
+        sf = np.asarray(self.scale_table)
+        max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
+        min_d = max_d / sf[-1]
+        k0 = self.store.alloc_kf()
+        Nf = cur.features.n
+        assoc = np.full(Nf, -1, np.int32)
+        assoc[sel] = slots
+        s = st.add_keyframe(
+            self.store.state, jnp.asarray(k0), jnp.eye(3), jnp.zeros(3),
+            cur.features.uv, jnp.asarray(cur.ur), cur.features.octave,
+            cur.features.angle, cur.features.desc, cur.features.valid,
+            jnp.asarray(assoc), prev_kf=-1,
+        )
+        s = st.add_points(
+            s, jnp.asarray(slots), jnp.asarray(pos, jnp.float32),
+            cur.features.desc[jnp.asarray(sel)],
+            jnp.asarray(normal, jnp.float32), jnp.asarray(min_d, jnp.float32),
+            jnp.asarray(max_d, jnp.float32), jnp.full(n_new, k0, jnp.int32),
+            jnp.ones(n_new, bool),
+        )
+        self.store.state = s
+        self.store.kf_ts[k0] = cur.timestamp
+        self.store.bump()
+        cur.mp_assoc = assoc
+        self.ref_kf = k0
+        self.last_kf_id = k0
+        self.velocity = None
+        self.state = TrackState.OK
+        self.frames_since_kf = 0
+        self._record_pose(cur.timestamp, np.eye(3), np.zeros(3))
+        self.init_frame = None
+
     def _initialize_mono(self, cur: fr.FrameData):
         """`MonocularInitialization` (`Tracking.cc:1724`)."""
         if cur.n_features < 100:
@@ -289,6 +466,7 @@ class Tracker:
             return
         if self.init_frame is None:
             self.init_frame = cur
+            self.pre_from_kf = None  # preintegration restarts at the ref
             self.state = TrackState.NOT_INITIALIZED
             return
         ref = self.init_frame
@@ -296,6 +474,7 @@ class Tracker:
         n_matches = int(np.asarray(m.valid).sum())
         if n_matches < 100:
             self.init_frame = cur  # ref replaced, as in Tracking.cc:1760
+            self.pre_from_kf = None
             return
         # Normalized coordinates for both frames.
         rays_ref = cam.unproject(self.model, self.params, ref.features.uv)[:, :2]
@@ -349,13 +528,13 @@ class Tracker:
 
         s = self.store.state
         s = st.add_keyframe(
-            s, k0, jnp.eye(3), jnp.zeros(3),
+            s, jnp.asarray(k0), jnp.eye(3), jnp.zeros(3),
             ref.features.uv, jnp.full(Nf, -1.0), ref.features.octave,
             ref.features.angle, ref.features.desc, ref.features.valid,
             jnp.asarray(assoc0), prev_kf=-1,
         )
         s = st.add_keyframe(
-            s, k1, jnp.asarray(R21), jnp.asarray(t21),
+            s, jnp.asarray(k1), jnp.asarray(R21), jnp.asarray(t21),
             cur.features.uv, jnp.full(Nf, -1.0), cur.features.octave,
             cur.features.angle, cur.features.desc, cur.features.valid,
             jnp.asarray(assoc1), prev_kf=k0,
@@ -373,12 +552,14 @@ class Tracker:
 
         # Global BA on the initial map (ref: GlobalBundleAdjustemnt(20)).
         if self.new_kf_callback is not None:
-            self.new_kf_callback(k1, initial=True)
+            self.new_kf_callback(k1, initial=True, preint=self.pre_from_kf)
+        self.pre_from_kf = None
 
-        cur.R = np.asarray(self.store.state.kf_R[k1])
-        cur.t = np.asarray(self.store.state.kf_t[k1])
+        cur.R = np.asarray(self.store.state.kf_R[jnp.asarray(k1)])
+        cur.t = np.asarray(self.store.state.kf_t[jnp.asarray(k1)])
         cur.mp_assoc = assoc1
         self.ref_kf = k1
+        self.last_kf_id = k1
         self.velocity = None
         self.state = TrackState.OK
         self.frames_since_kf = 0
@@ -386,17 +567,33 @@ class Tracker:
         self.init_frame = None
 
     # -- tracking --------------------------------------------------------
-    def _track(self, cur: fr.FrameData) -> bool:
-        """Two-stage tracking (`Tracking::Track` `Tracking.cc:958`)."""
+    def _track(self, cur: fr.FrameData, have_pose: bool = False) -> bool:
+        """Two-stage tracking (`Tracking::Track` `Tracking.cc:958`).
+        `have_pose=True` (after relocalization) skips stage 1."""
         s = self.store.state
         last = self.last_frame
-        ok = False
+        ok = have_pose
 
-        # Stage 1a: motion model.
-        if self.velocity is not None and last is not None:
+        # Stage 1a: motion model — IMU prediction when initialized
+        # (`PredictStateIMU` Tracking.cc:787), else constant velocity.
+        R_pred = t_pred = None
+        if have_pose:
+            pass
+        elif self.imu_ready and self.pre_frame is not None and last is not None:
+            from orbslam3_tpu.pipeline import inertial_support as isup
+
+            R_wb, p_wb = isup.cam_to_body(last.R, last.t, self.Rbc, self.tbc)
+            R1, v1, p1 = isup.predict_state(
+                R_wb, p_wb, self.body_vel, self.bias_g, self.bias_a, self.pre_frame
+            )
+            R_pred, t_pred = isup.body_to_cam(R1, p1, self.Rbc, self.tbc)
+            self.body_vel = v1.astype(np.float32)
+        elif self.velocity is not None and last is not None:
             Rv, tv = self.velocity
             R_pred = Rv @ last.R
             t_pred = Rv @ last.t + tv
+
+        if R_pred is not None and last is not None:
             assoc, n = _track_last_frame(
                 self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
                 last.features.uv, jnp.asarray(last.mp_assoc),
@@ -407,6 +604,7 @@ class Tracker:
                 res = _pose_opt_from_assoc(
                     self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
                     assoc, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
                 )
                 if int(res.n_inliers) >= 10:
                     cur.R = np.asarray(res.R)
@@ -416,9 +614,10 @@ class Tracker:
 
         # Stage 1b: reference keyframe fallback.
         if not ok and self.ref_kf >= 0:
+            rk = jnp.asarray(self.ref_kf)  # traced index: one cached gather
             assoc, n = _track_reference_kf(
-                s.kf_desc[self.ref_kf], s.kf_feat_valid[self.ref_kf],
-                s.kf_mp[self.ref_kf], s.mp_valid, cur.features,
+                s.kf_desc[rk], s.kf_feat_valid[rk],
+                s.kf_mp[rk], s.mp_valid, cur.features,
             )
             if int(n) >= 15:
                 R0 = jnp.asarray(last.R if last is not None else np.eye(3, dtype=np.float32))
@@ -426,6 +625,7 @@ class Tracker:
                 res = _pose_opt_from_assoc(
                     self.model, self.params, R0, t0,
                     assoc, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
                 )
                 if int(res.n_inliers) >= 10:
                     cur.R = np.asarray(res.R)
@@ -449,6 +649,7 @@ class Tracker:
         res = _pose_opt_from_assoc(
             self.model, self.params, jnp.asarray(cur.R), jnp.asarray(cur.t),
             assoc2, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+            ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
         )
         n_inl = int(res.n_inliers)
         self.match_inliers = n_inl
@@ -469,6 +670,47 @@ class Tracker:
         if self._need_new_keyframe(cur, n_inl):
             self._create_keyframe(cur)
         return True
+
+    def _relocalize(self, cur: fr.FrameData) -> bool:
+        """`Tracking::Relocalization` (`Tracking.cc:3248`): KFDB candidates
+        -> descriptor match -> PnP RANSAC -> pose refinement. Requires a
+        keyframe database (set by System when a vocabulary is provided)."""
+        kfdb = getattr(self, "kfdb", None)
+        if kfdb is None:
+            return False
+        s = self.store.state
+        covis = st.covisibility(s)
+        cand_ids, _ = kfdb.query_frame(cur.features.desc, cur.features.valid, covis)
+        rays = cam.unproject(self.model, self.params, cur.features.uv)[:, :2]
+        for c in np.asarray(cand_ids):
+            if c < 0:
+                continue
+            cj = jnp.asarray(int(c))
+            assoc, n = _track_reference_kf(
+                s.kf_desc[cj], s.kf_feat_valid[cj], s.kf_mp[cj], s.mp_valid, cur.features,
+            )
+            if int(n) < 15:
+                continue
+            assoc_np = np.asarray(assoc)
+            ok_mask = jnp.asarray(assoc_np >= 0) & cur.features.valid
+            Xw = s.mp_pos[jnp.clip(jnp.asarray(assoc_np), 0)]
+            ok, R, t, inl = ransac.pnp_ransac(
+                Xw, rays, ok_mask, jax.random.PRNGKey(cur.frame_id),
+                sigma_norm=1.0 / float(self.params[0]),
+            )
+            if not bool(ok):
+                continue
+            res = _pose_opt_from_assoc(
+                self.model, self.params, R, t, jnp.asarray(assoc_np),
+                cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+            )
+            if int(res.n_inliers) >= 15:
+                cur.R = np.asarray(res.R)
+                cur.t = np.asarray(res.t)
+                cur.mp_assoc = np.where(np.asarray(res.inlier), assoc_np, -1)
+                self.ref_kf = int(c)
+                return True
+        return False
 
     def _local_keyframes(self, cur: fr.FrameData) -> np.ndarray:
         """K1 covisible KFs of the current matches (`UpdateLocalKeyFrames`
@@ -497,10 +739,9 @@ class Tracker:
         if self.ref_kf < 0:
             return False
         s = self.store.state
+        rk = jnp.asarray(self.ref_kf)
         ref_matches = int(
-            np.asarray(
-                ((s.kf_mp[self.ref_kf] >= 0) & s.kf_feat_valid[self.ref_kf]).sum()
-            )
+            np.asarray(((s.kf_mp[rk] >= 0) & s.kf_feat_valid[rk]).sum())
         )
         c1 = self.frames_since_kf >= 10  # ref: mMaxFrames (fps)
         c2 = (n_inl < ref_matches * 0.9) and self.frames_since_kf >= 1
@@ -510,20 +751,32 @@ class Tracker:
         """`CreateNewKeyFrame` (`Tracking.cc:2716`)."""
         slot = self.store.alloc_kf()
         s = st.add_keyframe(
-            self.store.state, slot, jnp.asarray(cur.R), jnp.asarray(cur.t),
+            self.store.state, jnp.asarray(slot), jnp.asarray(cur.R), jnp.asarray(cur.t),
             cur.features.uv,
             jnp.asarray(cur.ur) if cur.ur is not None else jnp.full(cur.features.n, -1.0),
             cur.features.octave, cur.features.angle, cur.features.desc,
             cur.features.valid, jnp.asarray(cur.mp_assoc),
-            prev_kf=self.ref_kf,
+            vel=jnp.asarray(self.body_vel),
+            bias_g=jnp.asarray(self.bias_g),
+            bias_a=jnp.asarray(self.bias_a),
+            prev_kf=self.last_kf_id,  # TEMPORAL chain, not the covis ref
         )
         self.store.state = s
         self.store.kf_ts[slot] = cur.timestamp
         self.store.kf_frame_id[slot] = cur.frame_id
         self.store.bump()
         self.ref_kf = slot
+        self.last_kf_id = slot
         self.frames_since_kf = 0
+        slot_j = jnp.asarray(slot)
+        preint = self.pre_from_kf
+        self.pre_from_kf = None
         if self.new_kf_callback is not None:
-            self.new_kf_callback(slot, initial=False)
+            self.new_kf_callback(slot, initial=False, preint=preint)
         # Refresh associations after mapping (fusion may replace points).
-        cur.mp_assoc = np.asarray(self.store.state.kf_mp[slot])
+        cur.mp_assoc = np.asarray(self.store.state.kf_mp[slot_j])
+        # Mapping may have (re-)initialized the IMU: sync bias/vel.
+        if self.imu_calib is not None and self.imu_ready:
+            self.bias_g = np.asarray(self.store.state.kf_bias_g[slot_j])
+            self.bias_a = np.asarray(self.store.state.kf_bias_a[slot_j])
+            self.body_vel = np.asarray(self.store.state.kf_vel[slot_j])

@@ -42,21 +42,76 @@ class System:
         img_wh: Tuple[int, int],
         orb_params: feat.OrbParams = feat.OrbParams(),
         bf: float = 0.0,
+        imu_calib=None,  # ops.imu.ImuCalib (required for IMU_* sensors)
         Kmax: int = 256,
         Pmax: int = 16384,
     ):
         self.sensor = sensor
+        inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
+        if inertial:
+            assert imu_calib is not None, "IMU sensor modes need imu_calib"
         self.store = MapStore(Kmax=Kmax, Pmax=Pmax, Nf=sum(feat.level_budgets(orb_params)))
         params = jnp.asarray(camera_params, jnp.float32)
-        self.tracker = Tracker(camera_model, params, img_wh, self.store, orb_params, bf=bf)
-        self.mapper = LocalMapper(camera_model, params, img_wh, self.store, orb_params, bf=bf)
+        self.tracker = Tracker(
+            camera_model, params, img_wh, self.store, orb_params, bf=bf,
+            imu_calib=imu_calib if inertial else None,
+        )
+        self.mapper = LocalMapper(
+            camera_model, params, img_wh, self.store, orb_params, bf=bf,
+            imu_calib=imu_calib if inertial else None,
+            mono=sensor == Sensor.IMU_MONOCULAR,
+        )
+        self.mapper.tracker = self.tracker
         self.tracker.new_kf_callback = self.mapper.process_keyframe
+        self.loop_closer = None
+
+    def enable_place_recognition(self, vocabulary, run_gba: bool = True,
+                                 min_bow_matches: int = 20, min_sim3_inliers: int = 20):
+        """Attach a vocabulary: enables relocalization + loop closing
+        (ref `System.cc:83-95`: vocabulary -> KeyFrameDatabase ->
+        LoopClosing thread)."""
+        from orbslam3_tpu.atlas.kfdb import KeyFrameDB
+        from orbslam3_tpu.pipeline.loop_closing import LoopCloser
+
+        kfdb = KeyFrameDB(vocabulary, Kmax=self.store.state.Kmax)
+        self.tracker.kfdb = kfdb
+        self.loop_closer = LoopCloser(
+            self.tracker.model, self.tracker.params, self.store, kfdb,
+            self.tracker.sigma2_table, run_gba=run_gba,
+            min_bow_matches=min_bow_matches, min_sim3_inliers=min_sim3_inliers,
+        )
+        mapper_cb = self.mapper.process_keyframe
+
+        def chained(slot, initial=False, preint=None):
+            mapper_cb(slot, initial=initial, preint=preint)
+            self.loop_closer.process_keyframe(slot)
+
+        self.tracker.new_kf_callback = chained
 
     # ------------------------------------------------------------------
-    def track_monocular(self, img: np.ndarray, timestamp: float):
-        """Ref `System::TrackMonocular` (`System.cc` mono entry)."""
+    def track_monocular(self, img: np.ndarray, timestamp: float, imu_measurements=None):
+        """Ref `System::TrackMonocular`: feeds queued IMU samples
+        ((t, acc(3), gyro(3)) tuples since the last frame) then tracks."""
         assert self.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        if imu_measurements:
+            for (t, acc, gyro) in imu_measurements:
+                self.tracker.grab_imu(t, acc, gyro)
         return self.tracker.process_frame(img, timestamp)
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     timestamp: float, imu_measurements=None):
+        """Ref `System::TrackStereo` (`System.cc:199`) — rectified pinhole
+        stereo."""
+        assert self.sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        if imu_measurements:
+            for (t, acc, gyro) in imu_measurements:
+                self.tracker.grab_imu(t, acc, gyro)
+        return self.tracker.process_stereo_frame(img_left, img_right, timestamp)
+
+    def track_rgbd(self, img: np.ndarray, depth_map: np.ndarray, timestamp: float):
+        """Ref `System::TrackRGBD` (`System.cc:265`)."""
+        assert self.sensor == Sensor.RGBD
+        return self.tracker.process_rgbd_frame(img, depth_map, timestamp)
 
     @property
     def tracking_state(self) -> TrackState:
@@ -73,20 +128,24 @@ class System:
     # ------------------------------------------------------------------
     def get_trajectory(self):
         """(timestamps, positions (N,3)) of tracked frames (camera centers
-        in world)."""
-        ts = np.asarray([t for t, _, _ in self.tracker.trajectory])
-        pos = np.asarray([p for _, _, p in self.tracker.trajectory])
+        in world), chained through the CURRENT keyframe poses so BA and
+        loop corrections apply retroactively (`System.cc:599`)."""
+        rows = self.tracker.reconstructed_trajectory()
+        ts = np.asarray([t for t, _, _ in rows])
+        pos = np.asarray([p for _, _, p in rows])
         return ts, pos
 
     def save_trajectory_tum(self, path: str):
         """Ref `System::SaveTrajectoryTUM` / `SaveTrajectoryEuRoC`."""
-        rows = self.tracker.trajectory
+        rows = self.tracker.reconstructed_trajectory()
         traj_io.save_tum(path, [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows])
 
     def save_keyframe_trajectory_tum(self, path: str):
         s = self.store.state
         valid = np.asarray(s.kf_valid)
         ids = np.flatnonzero(valid[: self.store.n_kf])
-        Rwc = [np.asarray(s.kf_R[i]).T for i in ids]
-        twc = [-np.asarray(s.kf_R[i]).T @ np.asarray(s.kf_t[i]) for i in ids]
+        kf_R = np.asarray(s.kf_R)
+        kf_t = np.asarray(s.kf_t)
+        Rwc = [kf_R[i].T for i in ids]
+        twc = [-kf_R[i].T @ kf_t[i] for i in ids]
         traj_io.save_tum(path, self.store.kf_ts[ids], Rwc, twc)

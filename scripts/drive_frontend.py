@@ -9,6 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax
 if os.environ.get("DRIVE_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")

@@ -10,6 +10,10 @@ platform selection MUST go through jax.config.update — env vars are
 already taken.
 """
 
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT-loader spam
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

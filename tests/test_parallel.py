@@ -41,3 +41,50 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_kfdb_query(rng):
+    """Sharded database query == single-device detect ranking."""
+    from orbslam3_tpu.ops import bow
+    from orbslam3_tpu.parallel import kfdb_sharded
+
+    protos = rng.integers(0, 256, size=(30, 32), dtype=np.uint8)
+    descs = []
+    for p in protos:
+        for _ in range(30):
+            d = p.copy()
+            d[rng.integers(0, 32, 4)] ^= rng.integers(1, 255, 4).astype(np.uint8)
+            descs.append(d)
+    voc = bow.build_vocabulary(np.stack(descs), k=5, depth=3, seed=0)
+
+    def make_vec(idx_protos):
+        d = []
+        for i in idx_protos:
+            x = protos[i].copy()
+            x[rng.integers(0, 32)] ^= 1
+            d.append(x)
+        d = jnp.asarray(np.stack(d))
+        w = bow.transform(voc, d, jnp.ones(len(idx_protos), bool))
+        return w, bow.bow_vector(voc, w)
+
+    K = 24
+    vecs, words = [], []
+    for k in range(K):
+        w, v = make_vec(rng.integers(0, 30, size=12))
+        vecs.append(v)
+        words.append(w)
+    db = jnp.stack(vecs)
+    valid = jnp.ones(K, bool)
+
+    qw, qv = make_vec(rng.integers(0, 30, size=12))
+    mesh = kfdb_sharded.make_mesh(jax.devices()[:8])
+    ids, scores = kfdb_sharded.sharded_query(qv, qw, db, valid, mesh, n_best=5)
+    # Reference ranking: plain L1 scores with the same shared-word filter.
+    shared = np.asarray(bow.shared_words(qw, db > 0))
+    elig = shared >= max(int(0.8 * shared.max()), 1)
+    ref_scores = np.asarray(bow.score_l1(qv, db)).copy()
+    ref_scores[~elig] = -1
+    ref_top = np.argsort(-ref_scores)[:5]
+    got = np.asarray(ids)
+    assert got[0] == ref_top[0]
+    assert set(got[got >= 0][:3]) <= set(ref_top.tolist() + [-1])

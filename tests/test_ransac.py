@@ -73,3 +73,32 @@ def test_two_view_degenerate_fails(rng):
         jnp.ones(n, bool), jax.random.PRNGKey(1),
     )
     assert not bool(res.success)
+
+
+def test_pnp_ransac(rng):
+    from orbslam3_tpu.ops.ransac import pnp_ransac
+
+    n = 200
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(3, 8, n)], -1
+    ).astype(np.float32)
+    R = np.asarray(lie.exp_so3(jnp.asarray([0.2, -0.3, 0.15], jnp.float32)))
+    t = np.array([0.4, -0.2, 0.6], np.float32)
+    # World points = pts expressed in world: X_w = R^T (X_c - t)
+    Xw = ((pts - t) @ R).astype(np.float32)
+    rays = pts[:, :2] / pts[:, 2:3]
+    rays += rng.normal(0, 1.0 / 450, rays.shape)
+    # 25% outliers.
+    n_out = n // 4
+    bad = rng.choice(n, n_out, replace=False)
+    rays[bad] += rng.uniform(0.05, 0.2, (n_out, 2)) * np.sign(rng.normal(size=(n_out, 2)))
+    ok, R_est, t_est, inl = pnp_ransac(
+        jnp.asarray(Xw), jnp.asarray(rays.astype(np.float32)), jnp.ones(n, bool),
+        jax.random.PRNGKey(3), sigma_norm=1.0 / 450,
+    )
+    assert bool(ok)
+    rot_err = np.linalg.norm(np.asarray(lie.log_so3(jnp.asarray(R.T) @ R_est)))
+    assert rot_err < 0.02, rot_err
+    assert np.linalg.norm(np.asarray(t_est) - t) < 0.05
+    # Most outliers excluded.
+    assert np.asarray(inl)[bad].mean() < 0.2
