@@ -33,6 +33,7 @@ from orbslam3_tpu.ops import features as feat
 from orbslam3_tpu.ops import lie, matching
 from orbslam3_tpu.optim import ba as ba_mod
 from orbslam3_tpu.optim import lm
+from orbslam3_tpu.utils import timing
 
 WINDOW = 16  # optimizable window cap (ref: all covisibles of current KF)
 FIXED = 16  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
@@ -310,14 +311,19 @@ class LocalMapper:
             # (`GlobalBundleAdjustemnt(20)`, Tracking.cc:1948).
             self._global_ba_small(kf_id)
             return
-        self._cull_points(kf_id)
-        self._create_new_points(kf_id)
-        self._fuse_neighbors(kf_id)
-        if self.imu_initialized:
-            self._local_inertial_ba(kf_id)
-        else:
-            self._local_ba(kf_id)
-        self._cull_keyframes(kf_id)
+        with timing.span("mapping/cull_points"):
+            self._cull_points(kf_id)
+        with timing.span("mapping/triangulate"):
+            self._create_new_points(kf_id)
+        with timing.span("mapping/fuse"):
+            self._fuse_neighbors(kf_id)
+        with timing.span("mapping/local_ba"):
+            if self.imu_initialized:
+                self._local_inertial_ba(kf_id)
+            else:
+                self._local_ba(kf_id)
+        with timing.span("mapping/cull_keyframes"):
+            self._cull_keyframes(kf_id)
         if self.imu_init is not None and not self.imu_init.initialized:
             self._try_imu_init(kf_id)
         elif self.imu_init is not None and kf_id % 10 == 0:

@@ -37,6 +37,7 @@ from orbslam3_tpu.ops import features as feat
 from orbslam3_tpu.ops import lie, matching, ransac
 from orbslam3_tpu.optim import pose_only
 from orbslam3_tpu.pipeline import frame as fr
+from orbslam3_tpu.utils import timing
 
 
 class TrackState(enum.Enum):
@@ -265,7 +266,10 @@ class Tracker:
 
     # -- helpers --------------------------------------------------------
     def _extract(self, img: np.ndarray) -> feat.Features:
-        return feat.extract(jnp.asarray(img, jnp.float32), self.orb)
+        with timing.span("tracking/extract"):
+            f = feat.extract(jnp.asarray(img, jnp.float32), self.orb)
+            jax.block_until_ready(f.desc)
+        return f
 
     def _record_pose(self, ts, R, t):
         """Log the frame pose RELATIVE to its reference keyframe (ref
@@ -282,16 +286,23 @@ class Tracker:
             # T_cr = T_cw * T_rw^-1
             R_cr = R @ R_r.T
             t_cr = t - R_cr @ t_r
-            self.trajectory.append((ts, self.ref_kf, R_cr, t_cr))
+            self.trajectory.append((ts, self.store, self.ref_kf, R_cr, t_cr))
         else:
-            self.trajectory.append((ts, -1, R, t))
+            self.trajectory.append((ts, self.store, -1, R, t))
 
     def reconstructed_trajectory(self):
-        """(ts, Rwc, twc) per frame, chained through current KF poses."""
-        kf_R = np.asarray(self.store.state.kf_R)
-        kf_t = np.asarray(self.store.state.kf_t)
+        """(ts, Rwc, twc) per frame, chained through each entry's OWN
+        map's current KF poses (multi-map entries resolve into whichever
+        map they were tracked in; merged maps' entries are re-rooted by
+        the merge)."""
+        cache = {}
         out = []
-        for ts, ref, R_cr, t_cr in self.trajectory:
+        for ts, store, ref, R_cr, t_cr in self.trajectory:
+            if id(store) not in cache:
+                cache[id(store)] = (
+                    np.asarray(store.state.kf_R), np.asarray(store.state.kf_t)
+                )
+            kf_R, kf_t = cache[id(store)]
             if ref >= 0:
                 R_cw = R_cr @ kf_R[ref]
                 t_cw = R_cr @ kf_t[ref] + t_cr
@@ -637,6 +648,8 @@ class Tracker:
             return False
 
         # Stage 2: track local map (`TrackLocalMap` Tracking.cc:2436).
+        timing_ctx = timing.span("tracking/track_local_map")
+        timing_ctx.__enter__()
         local_kfs = self._local_keyframes(cur)
         pad = np.full(16, -1, np.int32)
         pad[: min(len(local_kfs), 16)] = local_kfs[:16]
@@ -658,6 +671,7 @@ class Tracker:
         cur.R = np.asarray(res.R)
         cur.t = np.asarray(res.t)
         cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc2), -1)
+        timing_ctx.__exit__(None, None, None)
 
         # Motion model update (Tcl = Tcw_cur * Twc_last).
         if last is not None:

@@ -64,6 +64,22 @@ class System:
         self.mapper.tracker = self.tracker
         self.tracker.new_kf_callback = self.mapper.process_keyframe
         self.loop_closer = None
+        self.multimap = None
+
+    def enable_multimap(self, vocabulary, **kw):
+        """Atlas multi-map mode (ref `Tracking::CreateMapInAtlas` +
+        `LoopClosing::MergeLocal`): hard tracking loss stores the map and
+        starts a new one; place recognition later welds them."""
+        from orbslam3_tpu.pipeline.multimap import MultiMapManager
+
+        self.multimap = MultiMapManager(self, vocabulary, **kw)
+        inner = self.tracker.new_kf_callback
+
+        def chained(slot, initial=False, preint=None):
+            inner(slot, initial=initial, preint=preint)
+            self.multimap.on_new_keyframe(slot)
+
+        self.tracker.new_kf_callback = chained
 
     def enable_place_recognition(self, vocabulary, run_gba: bool = True,
                                  min_bow_matches: int = 20, min_sim3_inliers: int = 20):
@@ -96,7 +112,10 @@ class System:
         if imu_measurements:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
-        return self.tracker.process_frame(img, timestamp)
+        out = self.tracker.process_frame(img, timestamp)
+        if self.multimap is not None:
+            self.multimap.on_frame_done()
+        return out
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
                      timestamp: float, imu_measurements=None):
