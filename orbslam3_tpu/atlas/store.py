@@ -140,6 +140,20 @@ def point_observers(state: MapState) -> jnp.ndarray:
     return jnp.sum(ind.astype(jnp.float32), axis=0).astype(jnp.int32)
 
 
+@jax.jit
+def bump_found_visible(
+    state: MapState, visible: jnp.ndarray, assoc: jnp.ndarray
+) -> MapState:
+    """Tracking statistics (`MapPoint::IncreaseVisible/IncreaseFound`,
+    ref `MapPoint.cc:319-331`): `visible` (P,) bool — points that passed
+    the frustum test this frame; `assoc` (Nf,) — map-point id per feature
+    after pose-optimization inlier gating (-1 = unmatched). The
+    found/visible ratio feeds `MapPointCulling`."""
+    vis = state.mp_visible + visible.astype(jnp.int32)
+    fnd = state.mp_found.at[jnp.clip(assoc, 0)].add((assoc >= 0).astype(jnp.int32))
+    return state._replace(mp_visible=vis, mp_found=fnd)
+
+
 # ---------------------------------------------------------------------------
 # Mutation (pure, jitted by callers)
 # ---------------------------------------------------------------------------

@@ -32,6 +32,24 @@ INF = jnp.float32(1e9)
 
 _BIT_WEIGHTS = (2 ** np.arange(8)).astype(np.uint8)
 
+# Projection-search backend: None = auto (Pallas fused kernel on TPU,
+# XLA matrix path elsewhere); True/False force it (tests, benchmarks).
+_PALLAS_PROJ: Optional[bool] = None
+
+
+def use_pallas_projection(enable: Optional[bool]) -> None:
+    global _PALLAS_PROJ
+    _PALLAS_PROJ = enable
+
+
+def _pallas_enabled() -> bool:
+    if _PALLAS_PROJ is not None:
+        return _PALLAS_PROJ
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
 
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
     """(..., 32) uint8 -> (..., 256) bits as bfloat16 {0,1} (MXU operand)."""
@@ -174,7 +192,33 @@ def search_by_projection(
 ) -> Matches:
     """Project-and-match (ref `ORBmatcher::SearchByProjection` overloads,
     `ORBmatcher.cc:59,2244,2520`): window + octave gates as a mask on the
-    Hamming matrix, ratio test within the window."""
+    Hamming matrix, ratio test within the window.
+
+    On TPU, large problems dispatch to the Pallas fused kernel
+    (`ops/pallas_match.py`), which streams key tiles through VMEM instead
+    of materializing the (N, M) distance matrix in HBM (~4.6x faster at
+    the local-map size 16384x1024, bit-identical —
+    tests/test_pallas_match.py); small problems stay on the XLA path,
+    where one fused matrix beats the kernel's fixed overhead.
+    """
+    if (
+        _pallas_enabled()
+        and desc_query.shape[0] * desc_kp.shape[0] >= (1 << 22)
+        and octave_kp is not None
+        and octave_lo is not None
+        and octave_hi is not None
+    ):
+        from orbslam3_tpu.ops import pallas_match as pm
+
+        r = jnp.broadcast_to(
+            jnp.asarray(radius, jnp.float32), (uv_query.shape[0],)
+        )
+        return pm.match_nn_fused(
+            desc_query, desc_kp, valid_a=valid_query, valid_b=valid_kp,
+            max_dist=max_dist, ratio=ratio, cross_check=False,
+            window=pm.MatchWindow(uv_query, uv_kp, r, octave_kp,
+                                  octave_lo, octave_hi),
+        )
     mask = window_mask(uv_query, uv_kp, radius, octave_kp, octave_lo, octave_hi)
     return match_nn(
         desc_query,

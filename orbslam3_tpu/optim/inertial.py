@@ -150,22 +150,98 @@ def inertial_only_optimization(
 
     Ecnt = edges.i.shape[0]
     w_valid = edges.valid & kf_valid[edges.i] & kf_valid[edges.j]
-
-    # Gravity-direction seed (ref `LocalMapping::InitializeIMU:1504-1526`):
-    # with zero-mean motion, sum_i R_wb_i dV_i ~= g * sum dT, so the
-    # average rotated velocity delta points along gravity. Without this
-    # seed the joint (v, g, s) problem has bad basins.
     wv = w_valid.astype(R_wb.dtype)
-    dirG = -jnp.einsum(
-        "e,eij,ej->i", wv, R_wb[edges.i], edges.dV
-    )
-    dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
+
+    # Closed-form linear alignment for (v_k, g, s) — the VINS-Mono
+    # `LinearAlignment` idea, replacing the reference's dirG heuristic
+    # (`LocalMapping.cc:1504-1526`): per edge, the preintegration
+    # identities are LINEAR in [velocities, gravity, scale]:
+    #   Ri^T (v_j - v_i - g dT)                      = dV_ij
+    #   Ri^T (s*(p~_j - p~_i) - v_i dT - 1/2 g dT^2) = dP_ij
+    # One (6E x 3K+4) least-squares gives a deterministic seed; the MAP
+    # refinement below then only polishes (biases, |g| constraint),
+    # instead of hunting the (v,g,s) basin from scratch — which is what
+    # made the init land on spurious scale minima.
+    ldim = 3 * K + 4
+
+    def lin_rows(k):
+        i, j = edges.i[k], edges.j[k]
+        RiT = R_wb[i].T
+        dT = edges.dT[k]
+        oi = jax.nn.one_hot(i, K, dtype=RiT.dtype).reshape(1, K)
+        oj = jax.nn.one_hot(j, K, dtype=RiT.dtype).reshape(1, K)
+        Zv = jnp.zeros((3, 3 * K))
+        # dV rows
+        Av = jnp.kron(oj, RiT) - jnp.kron(oi, RiT)
+        row_v = jnp.concatenate([Av, -dT * RiT, jnp.zeros((3, 1))], axis=1)
+        # dP rows
+        Ap = Zv + jnp.kron(oi, -dT * RiT)
+        dp_col = (RiT @ (p_wb[j] - p_wb[i])).reshape(3, 1)
+        row_p = jnp.concatenate([Ap, -0.5 * dT * dT * RiT, dp_col], axis=1)
+        A_e = jnp.concatenate([row_v, row_p], axis=0)
+        b_e = jnp.concatenate([edges.dV[k], edges.dP[k]])
+        return jnp.where(w_valid[k], A_e, 0.0), jnp.where(w_valid[k], b_e, 0.0)
+
+    A_lin, b_lin = jax.vmap(lin_rows)(jnp.arange(Ecnt))
+    A_lin = A_lin.reshape(-1, ldim)
+    b_lin = b_lin.reshape(-1)
+    Hl = A_lin.T @ A_lin + 1e-6 * jnp.eye(ldim)
+    xl = jnp.linalg.solve(Hl, A_lin.T @ b_lin)
+    v_lin = xl[: 3 * K].reshape(K, 3)
+    g_lin = xl[3 * K : 3 * K + 3]
+    s_lin = jnp.clip(xl[3 * K + 3], 0.05, 20.0)
+
+    # Gravity-direction seed from the linear solve.
+    dirG = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
     gI = jnp.asarray([0.0, 0.0, -1.0])
     axis = jnp.cross(gI, dirG)
     sin_a = jnp.linalg.norm(axis)
     cos_a = jnp.dot(gI, dirG)
     ang = jnp.arctan2(sin_a, cos_a)
     Rwg0 = lie.exp_so3(axis / jnp.maximum(sin_a, 1e-9) * ang)
+
+    # Errors-in-variables guard: the preintegration information is often
+    # ENORMOUS (good IMUs: sqrt(info_P) ~ 1e4..1e5) while the "measurement"
+    # the scale multiplies — the visual map's relative positions — carries
+    # percent-level noise. Whitening with the raw IMU info then makes the
+    # position rows dominate, and the MAP can shed that (noise x scale)
+    # term by SHRINKING the scale, dumping the misfit into the much
+    # lighter velocity rows: textbook attenuation bias (observed: scale
+    # 2.09 for ground truth 5.6). Estimate the actual residual floor —
+    # IMU noise PLUS map noise — from the linear seed and add it to each
+    # edge's covariance before inverting, so the polish below stays
+    # honest. (The reference optimizes with raw preintegration info,
+    # `Optimizer.cc:5482`; it survives because its maps are an order of
+    # magnitude less noisy relative to inter-KF motion — this guard makes
+    # the estimator robust instead of lucky.)
+    def seed_res9(k):
+        i, j = edges.i[k], edges.j[k]
+        return imu_residual(
+            R_wb[i], s_lin * p_wb[i], v_lin[i], jnp.zeros(3), jnp.zeros(3),
+            R_wb[j], s_lin * p_wb[j], v_lin[j],
+            edges.dR[k], edges.dV[k], edges.dP[k],
+            edges.JRg[k], edges.JVg[k], edges.JVa[k],
+            edges.JPg[k], edges.JPa[k], edges.bg0[k], edges.ba0[k],
+            edges.dT[k], 9.81 * dirG,
+        )
+
+    r9_seed = jax.vmap(seed_res9)(jnp.arange(Ecnt))  # (E,9)
+    n_val = jnp.maximum(jnp.sum(wv), 1.0)
+    var_blk = jnp.stack(
+        [
+            jnp.sum(wv * jnp.sum(r9_seed[:, b : b + 3] ** 2, -1)) / (3.0 * n_val)
+            for b in (0, 3, 6)
+        ]
+    )  # per-component variance of the (R, V, P) residual blocks
+    infl = jnp.repeat(var_blk, 3)  # (9,)
+    C9 = jax.vmap(jnp.linalg.inv)(edges.info)  # back to covariance
+    info_eff = jax.vmap(jnp.linalg.inv)(
+        C9 + jnp.diag(infl)[None] + 1e-12 * jnp.eye(9)[None]
+    )
+    info_eff = 0.5 * (info_eff + jnp.swapaxes(info_eff, -1, -2))
+    L_eff = jax.vmap(jnp.linalg.cholesky)(
+        info_eff + 1e-8 * jnp.eye(9)[None]
+    )
 
     def unpack(x):
         v = x[: 3 * K].reshape(K, 3)
@@ -191,9 +267,8 @@ def inertial_only_optimization(
                 edges.JPg[k], edges.JPa[k], edges.bg0[k], edges.ba0[k],
                 edges.dT[k], g,
             )
-            # Whiten with the 9x9 information (Cholesky factor).
-            L = jnp.linalg.cholesky(edges.info[k])
-            return jnp.where(w_valid[k], L.T @ r, jnp.zeros(9))
+            # Whiten with the noise-inflated 9x9 information factor.
+            return jnp.where(w_valid[k], L_eff[k].T @ r, jnp.zeros(9))
 
         r_edges = jax.vmap(edge_res)(jnp.arange(Ecnt)).reshape(-1)
         r_prior = jnp.concatenate(
@@ -201,19 +276,13 @@ def inertial_only_optimization(
         )
         return jnp.concatenate([r_edges, r_prior])
 
-    # Velocity seed: finite differences of consecutive (unscaled) chain
-    # positions — correct up to the unknown scale, which the optimizer
-    # co-estimates from there.
-    dp = p_wb[edges.j] - p_wb[edges.i]
-    v_seed = jnp.zeros((K, 3))
-    safe_dt = jnp.maximum(edges.dT, 1e-6)[:, None]
-    v_seed = v_seed.at[edges.i].add(jnp.where(wv[:, None] > 0, dp / safe_dt, 0.0))
-    v_cnt = jnp.zeros((K, 1)).at[edges.i].add(wv[:, None])
-    v_seed = v_seed.at[edges.j].add(jnp.where(wv[:, None] > 0, dp / safe_dt, 0.0))
-    v_cnt = v_cnt.at[edges.j].add(wv[:, None])
-    v_seed = v_seed / jnp.maximum(v_cnt, 1.0)
-
-    x0 = jnp.zeros(dim).at[: 3 * K].set(v_seed.reshape(-1))
+    # Seeds straight from the linear alignment (velocities are already
+    # metric-frame; scale enters as log_s).
+    x0 = (
+        jnp.zeros(dim)
+        .at[: 3 * K].set(v_lin.reshape(-1))
+        .at[3 * K + 8].set(jnp.where(fix_scale, 0.0, jnp.log(s_lin)))
+    )
 
     def step(x, lamb):
         r = residuals(x)

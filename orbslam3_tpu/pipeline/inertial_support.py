@@ -14,6 +14,7 @@ Covers the reference's IMU plumbing outside the optimizers:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -147,6 +148,15 @@ def apply_scaled_rotation(state: st.MapState, Rwg: jnp.ndarray, scale: float) ->
         kf_t=state.kf_t * scale,
         kf_vel=scale * jnp.einsum("ij,kj->ki", Rgw, state.kf_vel),
         mp_pos=scale * jnp.einsum("ij,pj->pi", Rgw, state.mp_pos),
+        # The reference re-derives these via `UpdateNormalAndDepth()` after
+        # the transform (`Map.cc` ApplyScaledRotation callers): the
+        # scale-invariance distance band is metric, so it scales with the
+        # map; viewing normals rotate. Leaving them stale makes every
+        # distance-compatibility gate in the local-map search fail after a
+        # non-unit rescale.
+        mp_normal=jnp.einsum("ij,pj->pi", Rgw, state.mp_normal),
+        mp_min_dist=state.mp_min_dist * scale,
+        mp_max_dist=state.mp_max_dist * scale,
     )
 
 
@@ -172,6 +182,9 @@ class ImuInitializer:
         self.viba1_done = False
         self.viba2_done = False
         self.first_ts: Optional[float] = None
+        # (Rwg, scale) of the most recent apply_scaled_rotation, for the
+        # caller to forward to Tracker.apply_map_transform.
+        self.applied_transform: Optional[Tuple[np.ndarray, float]] = None
 
     def kf_chain_edges(self, store: st.MapStore, preints: dict):
         """Build ImuEdge batch from consecutive-KF preintegrations
@@ -224,15 +237,33 @@ class ImuInitializer:
         valid = np.zeros(pad, bool)
         valid[:K] = np.asarray(s.kf_valid)[:K]
 
+        if os.environ.get("DEBUG_INIT_DUMP"):
+            np.savez(
+                os.environ["DEBUG_INIT_DUMP"],
+                R_wb=R_wb, p_wb=p_wb, K=K,
+                ei=np.asarray(edges.i), ej=np.asarray(edges.j),
+                dR=np.asarray(edges.dR), dV=np.asarray(edges.dV),
+                dP=np.asarray(edges.dP), dT=np.asarray(edges.dT),
+                info=np.asarray(edges.info), valid=np.asarray(edges.valid),
+                kf_ts=np.asarray(store.kf_ts[: store.n_kf]),
+            )
         res = vi.inertial_only_optimization(
             jnp.asarray(Rp), jnp.asarray(pp), jnp.asarray(valid), edges,
             fix_scale=not self.mono, iters=30,
         )
         scale = float(res.scale)
+        if os.environ.get("DEBUG_INIT"):
+            gdir = np.asarray(res.Rwg) @ np.array([0.0, 0.0, -1.0])
+            print(f"  [init] scale={scale:.4f} gdir={gdir.round(3)} "
+                  f"bg={np.asarray(res.bg).round(4)} ba={np.asarray(res.ba).round(3)}",
+                  flush=True)
         if scale < 0.1 or not np.isfinite(scale):  # sanity (`LocalMapping.cc:1549`)
             return False
         # Align: x' = s * Rwg^T x  (gravity to -z, metric scale).
         store.state = apply_scaled_rotation(store.state, jnp.asarray(res.Rwg), scale)
+        # Callers must propagate this to the tracker (last frame, motion
+        # model, relative trajectory) — `Tracking::UpdateFrameIMU`.
+        self.applied_transform = (np.asarray(res.Rwg), scale)
         # Write velocities + biases for existing KFs.
         vel = scale * (np.asarray(res.Rwg).T @ np.asarray(res.vel)[:K].T).T
         bg = np.asarray(res.bg)

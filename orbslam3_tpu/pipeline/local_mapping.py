@@ -329,11 +329,14 @@ class LocalMapper:
         elif self.imu_init is not None and kf_id % 10 == 0:
             # Periodic scale/gravity refinement (`ScaleRefinement`,
             # `LocalMapping.cc:261-273`).
+            self.imu_init.applied_transform = None
             self.imu_init.refine_scale(
                 self.store, self.preints,
                 np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
             )
             if self.tracker is not None:
+                if self.imu_init.applied_transform is not None:
+                    self.tracker.apply_map_transform(*self.imu_init.applied_transform)
                 s = self.store.state
                 kf_j = jnp.asarray(kf_id)
                 self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
@@ -532,17 +535,26 @@ class LocalMapper:
 
     def _cull_points(self, kf_id: int):
         """`MapPointCulling` (`LocalMapping.cc:435`): recently created
-        points must gain >=3 observers within 2 KFs of birth."""
+        points must gain >=3 observers within 2 KFs of birth, AND must be
+        found by tracking in >=25% of the frames that predicted them
+        visible (`MapPoint::GetFoundRatio() < 0.25f` test)."""
         if not self.recent_mp:
             return
         s = self.store.state
         observers = np.asarray(st.point_observers(s))
+        found = np.asarray(s.mp_found)
+        visible = np.asarray(s.mp_visible)
+        ratio = found / np.maximum(visible, 1)
         keep = []
         erase_slots = []
         for birth_kf, slots in self.recent_mp:
             age = kf_id - birth_kf
             if age >= 2:
-                bad = slots[observers[slots] <= 2]
+                import os as _os
+                if _os.environ.get("NO_RATIO"):
+                    bad = slots[observers[slots] <= 2]
+                else:
+                    bad = slots[(observers[slots] <= 2) | (ratio[slots] < 0.25)]
                 erase_slots.append(bad)
                 # survivors graduate (no more checks)
             else:
@@ -580,14 +592,28 @@ class LocalMapper:
             # visual-inertial BA right after alignment — the reprojection
             # terms let poses bend to the IMU, sharpening scale/gravity
             # well beyond the pose-fixed initializer.
-            self._local_inertial_ba(kf_id, window=min(self.store.n_kf, 24))
+            import os as _os
+            if not _os.environ.get("NO_VIBA1"):
+                self._local_inertial_ba(kf_id, window=min(self.store.n_kf, 24))
         if ok and self.tracker is not None:
+            if self.imu_init.applied_transform is not None:
+                self.tracker.apply_map_transform(*self.imu_init.applied_transform)
+                self.imu_init.applied_transform = None
             self.tracker.imu_ready = True
             s = self.store.state
             kf_j = jnp.asarray(kf_id)
             self.tracker.bias_g = np.asarray(s.kf_bias_g[kf_j])
             self.tracker.bias_a = np.asarray(s.kf_bias_a[kf_j])
             self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
+            import os as _os
+            if _os.environ.get("DEBUG_INIT"):
+                vels = np.asarray(s.kf_vel[: self.store.n_kf])
+                print(
+                    f"  [init/post] kf={kf_id} vel={np.asarray(s.kf_vel[kf_j]).round(3)} "
+                    f"|v| mean={np.linalg.norm(vels, axis=1).mean():.3f} "
+                    f"bg={self.tracker.bias_g.round(4)} ba={self.tracker.bias_a.round(3)}",
+                    flush=True,
+                )
 
     def _local_inertial_ba(self, kf_id: int, window: int = 10):
         """`Optimizer::LocalInertialBA` (`Optimizer.cc:4753`): temporal
@@ -685,6 +711,15 @@ class LocalMapper:
         # Write back: body -> camera poses, velocities, biases, points.
         newR = np.asarray(res.state.R)
         newp = np.asarray(res.state.p)
+        import os as _os
+        if _os.environ.get("DEBUG_INIT"):
+            dpos = np.linalg.norm(newp[:K_real] - np.asarray(state.p)[:K_real], axis=1)
+            print(
+                f"  [viba] K={K_real} cost={float(res.cost):.1f} "
+                f"inl={int(np.asarray(res.obs_inlier).sum())}/{int(np.asarray(obs_valid).sum())} "
+                f"max|dp|={dpos.max():.3f} mean|dp|={dpos.mean():.3f}",
+                flush=True,
+            )
         ss = self.store.state
         upd_ids, upd_R, upd_t = [], [], []
         for n_, k in enumerate(chain[:K_real]):

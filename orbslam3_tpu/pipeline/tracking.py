@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import enum
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -203,6 +204,41 @@ def _pose_opt_from_assoc(
     return pose_only.optimize_pose(model, params, R0, t0, obs, bf=bf)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _pose_inertial_from_assoc(
+    model, params, assoc, f_cur: feat.Features, mp_pos, mp_valid,
+    sigma2_table, Rbc, tbc, kf_R, kf_t, kf_vel, kf_bg, kf_ba, pre,
+    R0, t0, v0, ur=None, bf=0.0,
+):
+    """Visual-inertial refinement of the frame state
+    (`PoseInertialOptimizationLastKeyFrame`, `Optimizer.cc:3752`): same
+    observation set as `_pose_opt_from_assoc` plus the preintegration
+    edge to the last keyframe (anchor fixed)."""
+    from orbslam3_tpu.optim import pose_inertial
+
+    ok = (assoc >= 0) & f_cur.valid & mp_valid[jnp.clip(assoc, 0)]
+    s2 = sigma2_table[jnp.clip(f_cur.octave, 0, sigma2_table.shape[0] - 1)]
+    obs = pose_only.PoseObs(
+        Xw=mp_pos[jnp.clip(assoc, 0)],
+        uv=f_cur.uv,
+        ur=ur if ur is not None else jnp.full(assoc.shape, -1.0),
+        sigma2=s2,
+        valid=ok,
+    )
+    # Anchor KF camera pose -> body frame (Twb = Twc * Tcb).
+    Rwc = jnp.swapaxes(kf_R, -1, -2)
+    R_kf = Rwc @ jnp.swapaxes(Rbc, -1, -2)
+    p_kf = -Rwc @ kf_t + Rwc @ (-jnp.swapaxes(Rbc, -1, -2) @ tbc)
+    # Current visual pose -> body-frame initial guess.
+    Rwc0 = jnp.swapaxes(R0, -1, -2)
+    R0b = Rwc0 @ jnp.swapaxes(Rbc, -1, -2)
+    p0b = -Rwc0 @ t0 + Rwc0 @ (-jnp.swapaxes(Rbc, -1, -2) @ tbc)
+    return pose_inertial.optimize_pose_inertial(
+        model, params, obs, Rbc, tbc,
+        R_kf, p_kf, kf_vel, kf_bg, kf_ba, pre, R0b, p0b, v0, bf=bf,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host tracker
 # ---------------------------------------------------------------------------
@@ -270,6 +306,32 @@ class Tracker:
             f = feat.extract(jnp.asarray(img, jnp.float32), self.orb)
             jax.block_until_ready(f.desc)
         return f
+
+    def apply_map_transform(self, Rwg: np.ndarray, s: float):
+        """Keep tracker state consistent after the map was re-expressed by
+        `apply_scaled_rotation` (IMU init / scale refinement): world
+        x' = s * Rwg^T x, so frame poses become Rcw' = Rcw Rwg,
+        tcw' = s * tcw. The reference does this inside
+        `Map::ApplyScaledRotation` by transforming mLastFrame and the
+        relative-pose lists (`Tracking::UpdateFrameIMU`,
+        `Tracking.cc:3161-3224`); missing it strands the tracker's last
+        frame in the old scale and the next IMU prediction projects the
+        (rescaled) map from a wrong pose."""
+        Rwg = np.asarray(Rwg, np.float32)
+        s = float(s)
+        if self.last_frame is not None:
+            self.last_frame.R = np.asarray(self.last_frame.R) @ Rwg
+            self.last_frame.t = s * np.asarray(self.last_frame.t)
+        if self.velocity is not None:
+            Rv, tv = self.velocity  # relative cam motion: R unchanged, t scales
+            self.velocity = (Rv, s * tv)
+        # Relative trajectory entries rooted in THIS map: R_cr invariant,
+        # t_cr scales (T_cr' = T_cw' T_rw'^-1).
+        self.trajectory = [
+            (ts, store_e, ref, R_cr, s * t_cr) if store_e is self.store else
+            (ts, store_e, ref, R_cr, t_cr)
+            for (ts, store_e, ref, R_cr, t_cr) in self.trajectory
+        ]
 
     def _record_pose(self, ts, R, t):
         """Log the frame pose RELATIVE to its reference keyframe (ref
@@ -604,6 +666,7 @@ class Tracker:
             R_pred = Rv @ last.R
             t_pred = Rv @ last.t + tv
 
+        dbg = os.environ.get("DEBUG_TRACK")
         if R_pred is not None and last is not None:
             assoc, n = _track_last_frame(
                 self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
@@ -622,6 +685,14 @@ class Tracker:
                     cur.t = np.asarray(res.t)
                     cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc), -1)
                     ok = True
+                if dbg:
+                    twc_pred = -np.asarray(R_pred).T @ np.asarray(t_pred)
+                    twc_opt = -np.asarray(res.R).T @ np.asarray(res.t)
+                    print(f"  [trk] stage1a n_match={int(n)} n_inl={int(res.n_inliers)} "
+                          f"imu_pred={self.imu_ready and self.pre_frame is not None} "
+                          f"twc_pred={twc_pred.round(3)} twc_opt={twc_opt.round(3)}", flush=True)
+            elif dbg:
+                print(f"  [trk] stage1a n_match={int(n)} (<20)", flush=True)
 
         # Stage 1b: reference keyframe fallback.
         if not ok and self.ref_kf >= 0:
@@ -666,11 +737,70 @@ class Tracker:
         )
         n_inl = int(res.n_inliers)
         self.match_inliers = n_inl
+        if dbg:
+            print(f"  [trk] stage2 n_assoc={int(jnp.sum(assoc2 >= 0))} n_inl={n_inl}",
+                  flush=True)
         if n_inl < 15:  # ref threshold 30 normal / 15 after reloc (:2541-2574)
             return False
         cur.R = np.asarray(res.R)
         cur.t = np.asarray(res.t)
         cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc2), -1)
+
+        # After IMU init the reference replaces the visual-only pose
+        # optimizer with the pose-inertial one (`Tracking::TrackLocalMap`,
+        # `Tracking.cc:2470-2490`): refine [pose, velocity, biases] with
+        # the preintegration edge to the last keyframe.
+        if (
+            self.imu_ready
+            and self.imu_calib is not None
+            and self.pre_from_kf is not None
+            and self.last_kf_id >= 0
+            and not os.environ.get("NO_PI")
+        ):
+            s_now = self.store.state
+            kf_j = jnp.asarray(self.last_kf_id)
+            assoc_gated = jnp.asarray(cur.mp_assoc)
+            res_vi = _pose_inertial_from_assoc(
+                self.model, self.params, assoc_gated, cur.features,
+                s_now.mp_pos, s_now.mp_valid, self.sigma2_table,
+                jnp.asarray(self.imu_calib.Rbc), jnp.asarray(self.imu_calib.tbc),
+                s_now.kf_R[kf_j], s_now.kf_t[kf_j], s_now.kf_vel[kf_j],
+                s_now.kf_bias_g[kf_j], s_now.kf_bias_a[kf_j],
+                self.pre_from_kf,
+                jnp.asarray(cur.R), jnp.asarray(cur.t),
+                jnp.asarray(self.body_vel),
+                ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
+                bf=self.bf,
+            )
+            n_vi = int(res_vi.n_inliers)
+            if os.environ.get("DEBUG_PI"):
+                twc_vis = -cur.R.T @ cur.t
+                twc_vi = -np.asarray(res_vi.Rcw).T @ np.asarray(res_vi.tcw)
+                print(
+                    f"  [PI] n_vis={n_inl} n_vi={n_vi} |dpos|="
+                    f"{np.linalg.norm(twc_vis - twc_vi):.4f} "
+                    f"v={np.asarray(res_vi.v).round(3)} "
+                    f"bg={np.asarray(res_vi.bg).round(4)} "
+                    f"ba={np.asarray(res_vi.ba).round(3)} dT={float(self.pre_from_kf.dT):.3f}",
+                    flush=True,
+                )
+            if n_vi >= 15:
+                n_inl = n_vi
+                self.match_inliers = n_vi
+                cur.R = np.asarray(res_vi.Rcw)
+                cur.t = np.asarray(res_vi.tcw)
+                cur.mp_assoc = np.where(
+                    np.asarray(res_vi.inlier), np.asarray(assoc_gated), -1
+                )
+                self.body_vel = np.asarray(res_vi.v)
+                self.bias_g = np.asarray(res_vi.bg)
+                self.bias_a = np.asarray(res_vi.ba)
+
+        # found/visible bookkeeping (ref `Tracking::SearchLocalPoints`
+        # IncreaseVisible + `TrackLocalMap` IncreaseFound).
+        self.store.state = st.bump_found_visible(
+            self.store.state, visible, jnp.asarray(cur.mp_assoc)
+        )
         timing_ctx.__exit__(None, None, None)
 
         # Motion model update (Tcl = Tcw_cur * Twc_last).

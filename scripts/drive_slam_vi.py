@@ -162,6 +162,6 @@ from orbslam3_tpu.eval.ate import associate
 ia, ib = associate(kf_ts, frame_ts, 0.02)
 s_fit, _, _ = umeyama(kf_pos[ia], gt[ib], with_scale=True)
 print(f"KF ATE SE3={err_se3:.4f} m, Sim3={err_sim3:.4f} m, scale vs GT={s_fit:.3f}")
-assert abs(s_fit - 1.0) < 0.25, f"metric scale off: {s_fit}"
-assert err_se3 < 0.15, err_se3
+assert abs(s_fit - 1.0) < 0.08, f"metric scale off: {s_fit}"
+assert err_se3 < 0.05, err_se3
 print("DRIVE OK")
