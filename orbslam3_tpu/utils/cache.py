@@ -5,16 +5,40 @@ executables makes repeated runs (tests, benchmarks, replays) start in
 seconds instead of minutes. Works on CPU and TPU backends.
 """
 
+import hashlib
 import os
 
 
-def enable_compile_cache(path: str = os.path.expanduser("~/.cache/jax")):
-    """`ORBSLAM3_TPU_CACHE_DIR` overrides `path` — useful when a sandbox
-    migrates hosts: CPU cache entries are AOT code compiled for the OLD
-    host's CPU features, and loading them on a different machine changes
-    float codegen (or worse, SIGILLs)."""
+def _host_key() -> str:
+    """Fingerprint of the CPU microarchitecture this process runs on.
+
+    XLA:CPU cache entries are AOT machine code compiled for the compiling
+    host's feature set; loading them on a different machine (sandbox /
+    container migration) changes float codegen subtly or SIGILLs outright
+    (observed: a borderline VI-init numeric flip after a host swap).
+    Keying the cache directory by the host's CPU flags makes a migrated
+    session start a fresh cache instead of reloading foreign code.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+def enable_compile_cache(path: str = None):
+    """`ORBSLAM3_TPU_CACHE_DIR` overrides the default
+    `~/.cache/jax-<host-key>` (see `_host_key`)."""
     import jax
 
+    if path is None:
+        path = os.path.expanduser(f"~/.cache/jax-{_host_key()}")
     path = os.environ.get("ORBSLAM3_TPU_CACHE_DIR", path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
