@@ -241,6 +241,173 @@ def erase_points(state: MapState, mp_ids: jnp.ndarray, mask: jnp.ndarray) -> Map
     return state._replace(mp_valid=valid, kf_mp=jnp.where(hit, -1, state.kf_mp))
 
 
+@jax.jit
+def replace_points(
+    state: MapState, src_ids: jnp.ndarray, dst_ids: jnp.ndarray, mask: jnp.ndarray
+) -> MapState:
+    """Batched `MapPoint::Replace` (ref `MapPoint.cc` via
+    `ORBmatcher::Fuse` `ORBmatcher.cc:1630`): every observation of
+    `src_ids[i]` is rewired to `dst_ids[i]` (where `mask[i]`), except in
+    keyframes that already observe the destination point — there the
+    source observation is erased (the reference's `Replace` does exactly
+    this: move obs if the KF doesn't see the replacement, else erase).
+    Found/visible statistics are accumulated onto the destination and the
+    source points are invalidated.
+
+    Rare unhandled case (accepted): two *different* sources mapping to
+    the same destination inside one KF row leave a duplicate association;
+    the duplicate is removed by the next BA outlier pass.
+    """
+    P = state.Pmax
+    src = jnp.clip(src_ids, 0, P - 1)
+    dst = jnp.clip(dst_ids, 0, P - 1)
+    live = mask & (src_ids >= 0) & (dst_ids >= 0) & (src_ids != dst_ids)
+
+    lut = jnp.arange(P, dtype=jnp.int32)
+    lut = lut.at[src].set(jnp.where(live, dst, lut[src]))
+
+    kf_mp = state.kf_mp  # (K, Nf)
+    mapped = jnp.where(kf_mp >= 0, lut[jnp.clip(kf_mp, 0)], kf_mp)
+    rewired = (mapped != kf_mp) & (kf_mp >= 0)
+    # Rows already containing the destination keep their incumbent obs:
+    # the rewired source obs is erased instead of duplicated.
+    ind = obs_indicator(state)  # (K, P) — BEFORE rewiring
+    K = kf_mp.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], kf_mp.shape)
+    dst_present = ind[rows, jnp.clip(mapped, 0)] > 0
+    new_kf_mp = jnp.where(rewired & dst_present, -1, mapped)
+
+    # Stats transfer + invalidate sources.
+    add_found = jnp.where(live, state.mp_found[src], 0)
+    add_vis = jnp.where(live, state.mp_visible[src], 0)
+    mp_found = state.mp_found.at[dst].add(add_found)
+    mp_visible = state.mp_visible.at[dst].add(add_vis)
+    mp_valid = state.mp_valid.at[src].set(
+        jnp.where(live, False, state.mp_valid[src])
+    )
+    return state._replace(
+        kf_mp=new_kf_mp, mp_valid=mp_valid, mp_found=mp_found, mp_visible=mp_visible
+    )
+
+
+MAXOBS = 16  # observer cap for descriptor/normal refresh
+
+
+def gather_observers(store: "MapStore", cand_ids: np.ndarray):
+    """Host-side inverted-index build: for each candidate point, up to
+    MAXOBS observing (keyframe, feature) pairs. The SoA stores the
+    forward map `kf_mp`; maintenance ops need the inverse
+    (`MapPoint::mObservations`, ref `MapPoint.h:141`) only for small
+    candidate batches at KF rate, so a host gather beats persisting a
+    second index on device."""
+    s = store.state
+    kf_mp = np.asarray(s.kf_mp)
+    okobs = (
+        (kf_mp >= 0)
+        & np.asarray(s.kf_feat_valid)
+        & np.asarray(s.kf_valid)[:, None]
+    )
+    M = len(cand_ids)
+    lut = np.full(s.Pmax, -1, np.int64)
+    lut[cand_ids] = np.arange(M)
+    cidx = np.where(okobs, lut[np.clip(kf_mp, 0, s.Pmax - 1)], -1)
+    kk, ff = np.nonzero(cidx >= 0)
+    ci = cidx[kk, ff]
+    order = np.argsort(ci, kind="stable")
+    ci, kk, ff = ci[order], kk[order], ff[order]
+    first = np.searchsorted(ci, np.arange(M), "left")
+    pos = np.arange(len(ci)) - first[ci]
+    sel = pos < MAXOBS
+    obs_kf = np.full((M, MAXOBS), -1, np.int32)
+    obs_feat = np.zeros((M, MAXOBS), np.int32)
+    obs_kf[ci[sel], pos[sel]] = kk[sel]
+    obs_feat[ci[sel], pos[sel]] = ff[sel]
+    return obs_kf, obs_feat
+
+
+@jax.jit
+def _refresh_kernel(
+    state: MapState,
+    cand_ids: jnp.ndarray,  # (M,)
+    obs_kf: jnp.ndarray,  # (M, MAXOBS)
+    obs_feat: jnp.ndarray,  # (M, MAXOBS)
+    scale_table: jnp.ndarray,  # (L,)
+) -> MapState:
+    ok = obs_kf >= 0
+    kfc = jnp.clip(obs_kf, 0)
+    cid = jnp.clip(cand_ids, 0)
+    descs = state.kf_desc[kfc, obs_feat]  # (M, O, 32)
+
+    # Distinctive descriptor (`MapPoint::ComputeDistinctiveDescriptors`,
+    # ref `MapPoint.cc`): the observation descriptor with least median
+    # Hamming distance to all the others.
+    x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)  # (M,O,O)
+    BIG = jnp.int32(10000)
+    pairok = ok[:, :, None] & ok[:, None, :]
+    d = jnp.where(pairok, d, BIG)
+    ds = jnp.sort(d, axis=-1)  # invalid distances sort to the end
+    nv = jnp.sum(ok.astype(jnp.int32), axis=-1)  # (M,)
+    med_idx = jnp.clip((nv - 1) // 2, 0, MAXOBS - 1)
+    med = jnp.take_along_axis(ds, med_idx[:, None, None].repeat(MAXOBS, 1), axis=-1)[
+        ..., 0
+    ]  # (M, O)
+    med = jnp.where(ok, med, BIG)
+    best = jnp.argmin(med, axis=-1)
+    aM = jnp.arange(cand_ids.shape[0])
+    new_desc = descs[aM, best]
+
+    # Normal + scale band (`MapPoint::UpdateNormalAndDepth`): normal is
+    # the mean unit ray from observing camera centres; the distance band
+    # comes from the first observer's feature octave.
+    Rk = state.kf_R[kfc]  # (M, O, 3, 3)
+    tk = state.kf_t[kfc]
+    Ow = -jnp.einsum("moji,moj->moi", Rk, tk)
+    X = state.mp_pos[cid]
+    v = X[:, None] - Ow
+    vn = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+    nsum = jnp.sum(jnp.where(ok[..., None], vn, 0.0), axis=1)
+    normal = nsum / (jnp.linalg.norm(nsum, axis=-1, keepdims=True) + 1e-12)
+
+    ref_o = jnp.argmax(ok, axis=-1)
+    dist = jnp.linalg.norm(X - Ow[aM, ref_o], axis=-1)
+    oct_ref = state.kf_octave[kfc[aM, ref_o], obs_feat[aM, ref_o]]
+    sf = scale_table[jnp.clip(oct_ref, 0, scale_table.shape[0] - 1)]
+    max_d = dist * sf
+    min_d = max_d / scale_table[-1]
+
+    upd = (nv > 0) & state.mp_valid[cid] & (cand_ids >= 0)
+    w = lambda new, old: jnp.where(upd.reshape(upd.shape + (1,) * (new.ndim - 1)), new, old)
+    return state._replace(
+        mp_desc=state.mp_desc.at[cid].set(w(new_desc, state.mp_desc[cid])),
+        mp_normal=state.mp_normal.at[cid].set(w(normal, state.mp_normal[cid])),
+        mp_min_dist=state.mp_min_dist.at[cid].set(w(min_d, state.mp_min_dist[cid])),
+        mp_max_dist=state.mp_max_dist.at[cid].set(w(max_d, state.mp_max_dist[cid])),
+    )
+
+
+def refresh_points(store: "MapStore", cand_ids: np.ndarray, scale_table, cap: int = 1024):
+    """Recompute distinctive descriptors + normals/scale bands for the
+    candidate map points (ref `ComputeDistinctiveDescriptors` +
+    `UpdateNormalAndDepth`, called after new observations/fusion). Pads
+    to fixed-size chunks so the kernel compiles once per `cap`."""
+    dump = store.dump_slot  # never a live point: safe pad target
+    cand_ids = np.unique(np.asarray(cand_ids))
+    cand_ids = cand_ids[(cand_ids >= 0) & (cand_ids < dump)]
+    if len(cand_ids) == 0:
+        return
+    for start in range(0, len(cand_ids), cap):
+        chunk = cand_ids[start : start + cap]
+        pad = cap - len(chunk)
+        ids = np.concatenate([chunk, np.full(pad, dump, np.int64)]).astype(np.int32)
+        obs_kf, obs_feat = gather_observers(store, ids)
+        obs_kf[len(chunk):] = -1
+        store.state = _refresh_kernel(
+            store.state, jnp.asarray(ids), jnp.asarray(obs_kf),
+            jnp.asarray(obs_feat), jnp.asarray(scale_table, jnp.float32),
+        )
+
+
 def erase_keyframe(state: MapState, kf_slot) -> MapState:
     """Invalidate a keyframe and its observations (ref
     `KeyFrame::SetBadFlag`, `KeyFrame.cc:705`; spanning-tree child

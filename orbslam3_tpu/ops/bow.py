@@ -53,6 +53,29 @@ class Vocabulary(NamedTuple):
         return self.word_weight.shape[0]
 
 
+def save_npz(path: str, voc: Vocabulary):
+    """Cache a trained vocabulary (npz; cheap-to-load complement of the
+    DBoW2 binary/text interop in `io/vocab_io.py`)."""
+    np.savez_compressed(
+        path, node_desc=np.asarray(voc.node_desc),
+        node_children=np.asarray(voc.node_children),
+        node_word=np.asarray(voc.node_word),
+        word_weight=np.asarray(voc.word_weight),
+        depth=voc.depth, k=voc.k,
+    )
+
+
+def load_npz(path: str) -> Vocabulary:
+    d = np.load(path)
+    return Vocabulary(
+        node_desc=jnp.asarray(d["node_desc"]),
+        node_children=jnp.asarray(d["node_children"]),
+        node_word=jnp.asarray(d["node_word"]),
+        word_weight=jnp.asarray(d["word_weight"]),
+        depth=int(d["depth"]), k=int(d["k"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training (host-side NumPy; offline one-time cost)
 # ---------------------------------------------------------------------------

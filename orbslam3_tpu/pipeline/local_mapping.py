@@ -159,16 +159,25 @@ def fuse_into_kf(
     sigma2_table: jnp.ndarray,
     n_levels: int = 8,
 ):
-    """Project candidate points into KF `kf_id`; where a keypoint already
-    has a different point, *replace* candidates' obs (keep existing —
-    ref keeps the point with more observations; we keep the incumbent for
-    determinism); where free, add association (ref `ORBmatcher::Fuse`
-    `ORBmatcher.cc:1630`). Returns new kf_mp row."""
+    """Project candidate points into KF `kf_id`; where the matched
+    keypoint is free, add the association; where it already holds a
+    *different* point, report the (candidate, incumbent) conflict so the
+    caller can run `MapPoint::Replace` keeping the most-observed point
+    (ref `ORBmatcher::Fuse` `ORBmatcher.cc:1630`). Returns
+    (new kf_mp row, n added, conflict incumbents (M,), conflict mask (M,))."""
     from orbslam3_tpu.pipeline import frame as fr
 
     R = state.kf_R[kf_id]
     t = state.kf_t[kf_id]
     ids = jnp.clip(cand_ids, 0)
+    # Skip candidates this KF already observes (ref Fuse checks
+    # `pMP->IsInKeyFrame(pKF)`, `ORBmatcher.cc:1666`) — matching them to a
+    # second keypoint would duplicate the association in the row.
+    row0 = state.kf_mp[kf_id]
+    present = (
+        jnp.zeros(state.Pmax, bool).at[jnp.clip(row0, 0)].set(row0 >= 0)
+    )
+    cand_valid = cand_valid & ~present[ids]
     uv, visible, lvl, vcos = fr.frustum_and_scale(
         model, params, R, t,
         state.mp_pos[ids], cand_valid & state.mp_valid[ids], state.mp_normal[ids],
@@ -180,16 +189,27 @@ def fuse_into_kf(
         state.mp_desc[ids], uv, visible, state.kf_desc[kf_id],
         state.kf_uv[kf_id], kp_valid,
         radius=r, octave_kp=state.kf_octave[kf_id],
-        octave_lo=jnp.maximum(lvl - 1, 0), octave_hi=lvl + 1,
+        octave_lo=jnp.maximum(lvl - 1, 0), octave_hi=lvl,  # ref: [lvl-1, lvl]
         max_dist=matching.TH_LOW, ratio=1.0,
     )
     m = matching.assign_unique(m, state.Nf)
     row = state.kf_mp[kf_id]
     tgt = jnp.clip(m.idx, 0)
+    # Per-keypoint chi2 gate (ref `ORBmatcher.cc:1703`): the projection
+    # must land within 5.99*sigma2 of the matched keypoint at the
+    # KEYPOINT's octave — tighter than the predicted-level radius for
+    # low-octave keypoints, and the main defence against merging distinct
+    # points with look-alike descriptors.
+    kp_oct = state.kf_octave[kf_id][tgt]
+    s2_kp = sigma2_table[jnp.clip(kp_oct, 0, sigma2_table.shape[0] - 1)]
+    e2 = jnp.sum((uv - state.kf_uv[kf_id][tgt]) ** 2, axis=-1)
+    m_ok = m.valid & (e2 <= 5.99 * s2_kp)
     incumbent = row[tgt]
-    write = m.valid & (incumbent < 0)
+    write = m_ok & (incumbent < 0)
     new_row = row.at[tgt].set(jnp.where(write, ids, incumbent))
-    return new_row, jnp.sum(write.astype(jnp.int32))
+    conflict = m_ok & (incumbent >= 0) & (incumbent != ids)
+    conflict &= state.mp_valid[jnp.clip(incumbent, 0)]
+    return new_row, jnp.sum(write.astype(jnp.int32)), incumbent, conflict
 
 
 # ---------------------------------------------------------------------------
@@ -426,22 +446,162 @@ class LocalMapper:
         self.store.bump()
 
     def _fuse_neighbors(self, kf_id: int):
-        """`SearchInNeighbors` (`LocalMapping.cc:913`), first direction:
-        project current-KF points into neighbors."""
+        """`SearchInNeighbors` (`LocalMapping.cc:913`), both directions:
+        (1) project current-KF points into each 1-hop neighbor; (2) pool
+        the points of the 1-hop + 2-hop neighborhood and project them into
+        the current KF. Conflicting associations are resolved by
+        `MapPoint::Replace` semantics — the point with more observers
+        wins globally (`ORBmatcher::Fuse` `ORBmatcher.cc:1630`). Finally
+        the touched points get fresh distinctive descriptors and normals
+        (ref `LocalMapping.cc:1090-1110`)."""
         s = self.store.state
         neighbors = self._covisible(kf_id, 10)
+        # 2-hop expansion: 5 best covisibles of each neighbor (ref :930).
+        Wmat = np.asarray(st.covisibility(s))
+        nkf = self.store.n_kf
+        hood = set(int(n) for n in neighbors)
+        for nb in list(hood):
+            w = Wmat[nb][:nkf]
+            second = np.argsort(-w)[:5]
+            hood.update(int(x) for x in second[w[second] >= 15]
+                        if int(x) != kf_id)
+        hood.discard(kf_id)
+
+        conflicts_src: list[np.ndarray] = []
+        conflicts_dst: list[np.ndarray] = []
+
+        def _collect(cand_np, inc, conf):
+            conf = np.asarray(conf)
+            if conf.any():
+                conflicts_src.append(cand_np[conf])
+                conflicts_dst.append(np.asarray(inc)[conf])
+
+        # Direction 1: current KF's points into 1-hop neighbors.
         cand = np.asarray(s.kf_mp[jnp.asarray(kf_id)])
         cand_ids = jnp.asarray(np.where(cand >= 0, cand, 0))
         cand_valid = jnp.asarray(cand >= 0)
         for nb in neighbors:
             nb_j = jnp.asarray(int(nb))
-            new_row, n_fused = fuse_into_kf(
+            new_row, n_fused, inc, conf = fuse_into_kf(
                 self.model, self.params, self.store.state, nb_j,
                 cand_ids, cand_valid, jnp.asarray(self.img_wh), self.sigma2_table,
             )
             self.store.state = self.store.state._replace(
                 kf_mp=self.store.state.kf_mp.at[nb_j].set(new_row)
             )
+            _collect(np.where(cand >= 0, cand, 0), inc, conf)
+
+        # Direction 2: neighborhood points into the current KF.
+        import os as _os
+        if _os.environ.get("NO_FUSE2"):
+            hood = set()
+        if hood:
+            kf_mp_np = np.asarray(self.store.state.kf_mp)
+            pool = np.unique(kf_mp_np[sorted(hood)].reshape(-1))
+            pool = pool[pool >= 0]
+            CAP = 4096
+            kf_j = jnp.asarray(kf_id)
+            for start in range(0, len(pool), CAP):
+                chunk = pool[start : start + CAP]
+                pad = CAP - len(chunk)
+                ids = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+                valid = np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)])
+                new_row, n_fused, inc, conf = fuse_into_kf(
+                    self.model, self.params, self.store.state, kf_j,
+                    jnp.asarray(ids, jnp.int32), jnp.asarray(valid),
+                    jnp.asarray(self.img_wh), self.sigma2_table,
+                )
+                self.store.state = self.store.state._replace(
+                    kf_mp=self.store.state.kf_mp.at[kf_j].set(new_row)
+                )
+                _collect(ids.astype(np.int64), inc, conf)
+
+        # Resolve conflicts: keep the most-observed point.
+        if _os.environ.get("NO_REPLACE"):
+            conflicts_src = []
+        if conflicts_src:
+            a = np.concatenate(conflicts_src).astype(np.int64)
+            b = np.concatenate(conflicts_dst).astype(np.int64)
+            # 3D sanity gate: only merge points whose current positions
+            # agree to ~the depth uncertainty of a duplicate (along-ray
+            # triangulation error), not points from different structures.
+            # (TPU-side addition to ref Fuse: our batched matcher lacks
+            # the grid-walk ordering that implicitly limits ref merges.)
+            pos = np.asarray(self.store.state.mp_pos)
+            Rk = np.asarray(self.store.state.kf_R[jnp.asarray(kf_id)])
+            tk = np.asarray(self.store.state.kf_t[jnp.asarray(kf_id)])
+            Ow = -Rk.T @ tk
+            depth = np.linalg.norm(pos[b] - Ow, axis=1)
+            gap = np.linalg.norm(pos[a] - pos[b], axis=1)
+            sane = gap <= 0.2 * np.maximum(depth, 1e-6)
+            a, b = a[sane], b[sane]
+            obs = np.asarray(st.point_observers(self.store.state))
+            keep_b = obs[b] >= obs[a]
+            src0 = np.where(keep_b, a, b)
+            dst0 = np.where(keep_b, b, a)
+            # Dedupe sources (a point replaced once is gone), then resolve
+            # replacement CHAINS: if (a -> b) and (c -> a) are both in the
+            # batch, c must land on b — the device LUT is applied once, so
+            # an unresolved chain would leave c's observations pointing at
+            # the invalidated a. Cycles are dropped.
+            src0, uniq = np.unique(src0, return_index=True)
+            mapping = dict(zip(src0.tolist(), dst0[uniq].tolist()))
+            pairs = []
+            for s_, d_ in mapping.items():
+                seen = {s_}
+                while d_ in mapping and d_ not in seen:
+                    seen.add(d_)
+                    d_ = mapping[d_]
+                if d_ in seen:  # cycle — leave these points alone
+                    continue
+                pairs.append((s_, d_))
+            if not pairs:
+                src = np.zeros(0, np.int64)
+                dst = np.zeros(0, np.int64)
+            else:
+                src = np.asarray([p[0] for p in pairs], np.int64)
+                dst = np.asarray([p[1] for p in pairs], np.int64)
+            if _os.environ.get("DEBUG_FUSE") and len(src):
+                pos = np.asarray(self.store.state.mp_pos)
+                gap = np.linalg.norm(pos[src] - pos[dst], axis=1)
+                print(
+                    f"  [fuse] kf={kf_id} merges={len(src)} "
+                    f"gap mean={gap.mean():.3f} max={gap.max():.3f} "
+                    f"obs_src={obs[src].mean():.1f} obs_dst={obs[dst].mean():.1f}",
+                    flush=True,
+                )
+            CAP = 1024
+            for start in range(0, len(src), CAP):
+                cs = src[start : start + CAP]
+                cd = dst[start : start + CAP]
+                pad = CAP - len(cs)
+                self.store.state = st.replace_points(
+                    self.store.state,
+                    jnp.asarray(np.concatenate([cs, np.full(pad, -1)]), jnp.int32),
+                    jnp.asarray(np.concatenate([cd, np.full(pad, -1)]), jnp.int32),
+                    jnp.asarray(np.concatenate([np.ones(len(cs), bool), np.zeros(pad, bool)])),
+                )
+            if not _os.environ.get('NO_FREE'):
+                self.store.free_mp_slots.extend(int(x) for x in src)
+            # Freed slots will be REALLOCATED to brand-new points; purge
+            # them from pending culling batches or the new tenants would
+            # be judged by the old point's birth age and culled at birth.
+            freed = set(int(x) for x in src)
+            self.recent_mp = [
+                (b, s[~np.isin(s, list(freed))]) for b, s in self.recent_mp
+            ]
+
+        if _os.environ.get("DEBUG_FUSE"):
+            km = np.asarray(self.store.state.kf_mp)
+            ndup = 0
+            for k in range(self.store.n_kf):
+                r_ = km[k][km[k] >= 0]
+                ndup += len(r_) - len(np.unique(r_))
+            print(f"  [fuse] kf={kf_id} row_dups={ndup}", flush=True)
+        # Refresh descriptors/normals of every point now tied to this KF.
+        if not _os.environ.get("NO_REFRESH"):
+            row = np.asarray(self.store.state.kf_mp[jnp.asarray(kf_id)])
+            st.refresh_points(self.store, row[row >= 0], self.scale_table)
 
     def _local_ba(self, kf_id: int):
         s = self.store.state
@@ -509,6 +669,17 @@ class LocalMapper:
                 continue
             redundant = (observers[pts] >= 4).sum()  # self + 3 others
             if redundant >= 0.9 * len(pts):
+                # Re-root tracker trajectory entries anchored on this slot
+                # BEFORE erasing: slots are recycled, and the reference's
+                # lazy bad-KF walk (`System.cc:630-645`) has no analog in
+                # a SoA store. Anchor on the temporal predecessor.
+                if self.tracker is not None:
+                    prev_np = np.asarray(self.store.state.kf_prev)
+                    valid_np = np.asarray(self.store.state.kf_valid)
+                    anchor = int(prev_np[c])
+                    if anchor < 0 or not valid_np[anchor]:
+                        anchor = kf_id
+                    self.tracker.on_kf_culled(self.store, c, anchor)
                 self.store.state = st.erase_keyframe(self.store.state, jnp.asarray(c))
                 self.store.free_kf_slots.append(c)
                 # Keep the temporal chain linked past the hole.
@@ -544,10 +715,13 @@ class LocalMapper:
         observers = np.asarray(st.point_observers(s))
         found = np.asarray(s.mp_found)
         visible = np.asarray(s.mp_visible)
+        mp_valid = np.asarray(s.mp_valid)
         ratio = found / np.maximum(visible, 1)
         keep = []
         erase_slots = []
         for birth_kf, slots in self.recent_mp:
+            # Points already replaced/erased (fuse) must not be re-freed.
+            slots = slots[mp_valid[slots]]
             age = kf_id - birth_kf
             if age >= 2:
                 import os as _os

@@ -232,7 +232,7 @@ class MultiMapManager:
             for k_tgt in kf_remap.values():
                 kj = jnp.asarray(k_tgt)
                 for st0 in range(0, pad_len, ts.Nf):
-                    row, _ = fuse_into_kf(
+                    row, _, _inc, _conf = fuse_into_kf(
                         sysm.tracker.model, sysm.tracker.params, target.state, kj,
                         jnp.asarray(cand_p[st0 : st0 + ts.Nf]),
                         jnp.asarray(cand_valid[st0 : st0 + ts.Nf]),

@@ -352,6 +352,36 @@ class Tracker:
         else:
             self.trajectory.append((ts, self.store, -1, R, t))
 
+    def on_kf_culled(self, store, slot: int, new_ref: int):
+        """Re-root trajectory entries referencing a culled KF slot onto a
+        live KF, using both poses at cull time. The reference handles
+        this lazily at export: `SaveTrajectoryEuRoC` walks
+        `while(pKF->isBad()) { Trw = Trw*pKF->mTcp; pKF = pKF->GetParent(); }`
+        (`System.cc:630-645`); we apply the hop eagerly because culled
+        slots are RECYCLED in the SoA store — a stale ref would chain the
+        frame pose through the slot's next tenant."""
+        s = store.state
+        slot_j = jnp.asarray(int(slot))
+        ref_j = jnp.asarray(int(new_ref))
+        R_r = np.asarray(s.kf_R[slot_j])
+        t_r = np.asarray(s.kf_t[slot_j])
+        R_p = np.asarray(s.kf_R[ref_j])
+        t_p = np.asarray(s.kf_t[ref_j])
+        # T_rp = T_rw * T_pw^-1 (old-ref pose relative to the new ref)
+        R_rp = R_r @ R_p.T
+        t_rp = t_r - R_rp @ t_p
+        self.trajectory = [
+            (ts, st_e, int(new_ref), R_cr @ R_rp, R_cr @ t_rp + t_cr)
+            if (st_e is store and ref == slot)
+            else (ts, st_e, ref, R_cr, t_cr)
+            for (ts, st_e, ref, R_cr, t_cr) in self.trajectory
+        ]
+        if store is self.store:
+            if self.ref_kf == slot:
+                self.ref_kf = int(new_ref)
+            if self.last_kf_id == slot:
+                self.last_kf_id = int(new_ref)
+
     def reconstructed_trajectory(self):
         """(ts, Rwc, twc) per frame, chained through each entry's OWN
         map's current KF poses (multi-map entries resolve into whichever

@@ -1,0 +1,283 @@
+"""Generate a synthetic EuRoC-format (mav0-layout) sequence at real scale.
+
+The sandbox has no dataset downloads, so the EuRoC-scale validation runs on
+a rendered sequence with the exact on-disk layout the reference's loaders
+expect (`/root/reference/Examples/Monocular-Inertial/mono_inertial_euroc.cc:
+228-287`): `mav0/cam0/data.csv` + `data/<ns>.png`, `mav0/imu0/data.csv`,
+`mav0/state_groundtruth_estimate0/data.csv`, plus a reference-format
+settings YAML. Defaults match EuRoC: 752x480 @ 20 Hz camera, 200 Hz IMU,
+>=1500 frames, and a trajectory that closes a loop (full circle inside a
+textured room, then ~1/3 of a second lap for loop closure in anger).
+
+The world is a closed textured box; every frame is ray-cast against the six
+faces with bilinear texture sampling, so appearance is perspective-correct
+and photometrically consistent across revisits — what place recognition
+needs. IMU samples are derived from the analytic trajectory by central
+differences and corrupted with EuRoC-grade noise + constant biases.
+
+Usage:
+  python scripts/make_synth_euroc.py OUT_DIR [--frames 1600] [--seed 0]
+Writes OUT_DIR/mav0/... and OUT_DIR/settings.yaml.
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+W, H = 752, 480
+FX = FY = 458.0
+CX, CY = 376.0, 240.0
+CAM_HZ = 20.0
+IMU_HZ = 200.0
+G = 9.81
+
+# Room geometry (meters): box [-6,6]x[-6,6] in x,y; z in [0,4].
+BOX_LO = np.array([-6.0, -6.0, 0.0])
+BOX_HI = np.array([6.0, 6.0, 4.0])
+TEX_N = 2048  # texels per face
+
+
+def make_textures(rng):
+    """Six face textures: mid-gray base + random high-contrast blocks at
+    several scales (localizable corners for FAST at all pyramid levels)."""
+    tex = []
+    for _ in range(6):
+        t = np.full((TEX_N, TEX_N), 128.0, np.float32)
+        # low-frequency illumination variation
+        g = rng.uniform(-25, 25, (8, 8)).astype(np.float32)
+        gi = np.clip((np.arange(TEX_N) * 8 // TEX_N), 0, 7)
+        t += g[np.ix_(gi, gi)]
+        for size, count in ((160, 60), (80, 240), (40, 700), (18, 1600)):
+            ys = rng.integers(0, TEX_N - size, count)
+            xs = rng.integers(0, TEX_N - size, count)
+            vals = rng.uniform(30, 235, count).astype(np.float32)
+            for y, x, v in zip(ys, xs, vals):
+                t[y : y + size, x : x + size] = v
+        tex.append(np.clip(t, 0, 255))
+    return np.stack(tex)  # (6, TEX_N, TEX_N)
+
+
+# Face parametrization: (axis, sign). axis = fixed coordinate.
+FACES = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
+
+
+def render(tex, R_wc, p_wc):
+    """Ray-cast the box: grayscale (H, W) float32 image."""
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    d_cam = np.stack([(u - CX) / FX, (v - CY) / FY, np.ones_like(u)], axis=-1)
+    d_w = d_cam @ R_wc.T  # (H, W, 3)
+    o = p_wc.astype(np.float32)
+
+    best_t = np.full((H, W), np.inf, np.float32)
+    best_face = np.full((H, W), -1, np.int8)
+    for f, (ax, hi) in enumerate(FACES):
+        bound = (BOX_HI if hi else BOX_LO)[ax]
+        denom = d_w[..., ax]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (bound - o[ax]) / denom
+        ok = (t > 1e-3) & np.isfinite(t) & (t < best_t)
+        best_t = np.where(ok, t, best_t)
+        best_face = np.where(ok, np.int8(f), best_face)
+
+    img = np.zeros((H, W), np.float32)
+    hit_pts = o[None, None] + best_t[..., None] * d_w
+    for f, (ax, hi) in enumerate(FACES):
+        m = best_face == f
+        if not m.any():
+            continue
+        axes = [a for a in range(3) if a != ax]
+        pu = hit_pts[..., axes[0]][m]
+        pv = hit_pts[..., axes[1]][m]
+        su = (pu - BOX_LO[axes[0]]) / (BOX_HI[axes[0]] - BOX_LO[axes[0]])
+        sv = (pv - BOX_LO[axes[1]]) / (BOX_HI[axes[1]] - BOX_LO[axes[1]])
+        x = np.clip(su * (TEX_N - 1), 0, TEX_N - 1.001)
+        y = np.clip(sv * (TEX_N - 1), 0, TEX_N - 1.001)
+        x0, y0 = x.astype(np.int32), y.astype(np.int32)
+        fx_, fy_ = x - x0, y - y0
+        T = tex[f]
+        val = (
+            T[y0, x0] * (1 - fx_) * (1 - fy_)
+            + T[y0, x0 + 1] * fx_ * (1 - fy_)
+            + T[y0 + 1, x0] * (1 - fx_) * fy_
+            + T[y0 + 1, x0 + 1] * fx_ * fy_
+        )
+        img[m] = val
+    return img
+
+
+def pose_at(t):
+    """Analytic trajectory: circle of radius ~2.5 m about the room center
+    at ~1.5 m height, heading tangent, with bobbing + radial pumping +
+    small attitude wobble for IMU excitation. Returns (R_wc, p_w).
+    Camera convention: z forward, x right, y down; Tbc = identity."""
+    T_LOOP = 60.0
+    th = 2 * np.pi * t / T_LOOP
+    r = 2.5 + 0.15 * np.sin(2 * np.pi * t / 4.1)
+    z = 1.5 + 0.12 * np.sin(2 * np.pi * t / 2.5)
+    p = np.array([r * np.cos(th), r * np.sin(th), z])
+    d = np.array([-np.sin(th), np.cos(th), 0.0])  # tangent, ccw
+    # attitude wobble: yaw/pitch offsets (rad)
+    yaw = 0.03 * np.sin(2 * np.pi * t / 3.3)
+    pitch = 0.03 * np.sin(2 * np.pi * t / 2.1)
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    d = np.array([d[0] * cz - d[1] * sz, d[0] * sz + d[1] * cz, 0.0])
+    z_cam = np.array([d[0] * np.cos(pitch), d[1] * np.cos(pitch), np.sin(pitch)])
+    z_cam /= np.linalg.norm(z_cam)
+    y_cam = np.array([0.0, 0.0, -1.0])
+    x_cam = np.cross(y_cam, z_cam)
+    x_cam /= np.linalg.norm(x_cam)
+    y_cam = np.cross(z_cam, x_cam)
+    R_wc = np.stack([x_cam, y_cam, z_cam], axis=1)
+    return R_wc, p
+
+
+def so3_log(R):
+    c = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    th = np.arccos(c)
+    if th < 1e-8:
+        return np.zeros(3)
+    return th / (2 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+
+
+def imu_sample(t, h=1e-4):
+    """Ideal body-frame gyro/accel by central differences (body=camera)."""
+    R0, p0 = pose_at(t)
+    Rm, pm = pose_at(t - h)
+    Rp, pp = pose_at(t + h)
+    gyro = so3_log(R0.T @ Rp) / h * 0.5 + so3_log(Rm.T @ R0) / h * 0.5
+    a_w = (pp - 2 * p0 + pm) / h**2
+    g_w = np.array([0.0, 0.0, -G])
+    acc = R0.T @ (a_w - g_w)
+    return gyro, acc
+
+
+def rot_to_quat_wxyz(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    if w > 1e-6:
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+    else:  # not hit on this trajectory
+        x = y = z = 0.0
+    return w, x, y, z
+
+
+SETTINGS_YAML = f"""%YAML:1.0
+# Synthetic EuRoC-format sequence (generated by make_synth_euroc.py)
+Camera.type: "PinHole"
+Camera.fx: {FX}
+Camera.fy: {FY}
+Camera.cx: {CX}
+Camera.cy: {CY}
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: {W}
+Camera.height: {H}
+Camera.fps: {CAM_HZ}
+Camera.RGB: 1
+Tbc: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.0,
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--frames", type=int, default=1600)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--start-ns", type=int, default=1403636579763555584)
+    args = ap.parse_args()
+
+    import cv2
+
+    rng = np.random.default_rng(args.seed)
+    tex = make_textures(rng)
+
+    cam_dir = os.path.join(args.out_dir, "mav0", "cam0", "data")
+    imu_dir = os.path.join(args.out_dir, "mav0", "imu0")
+    gt_dir = os.path.join(args.out_dir, "mav0", "state_groundtruth_estimate0")
+    os.makedirs(cam_dir, exist_ok=True)
+    os.makedirs(imu_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+
+    with open(os.path.join(args.out_dir, "settings.yaml"), "w") as f:
+        f.write(SETTINGS_YAML)
+
+    n = args.frames
+    dt_cam = 1.0 / CAM_HZ
+    # --- camera frames + cam0/data.csv + ground truth -------------------
+    with open(os.path.join(args.out_dir, "mav0", "cam0", "data.csv"), "w") as fc, open(
+        os.path.join(gt_dir, "data.csv"), "w"
+    ) as fg:
+        fc.write("#timestamp [ns],filename\n")
+        fg.write("#timestamp,p_x,p_y,p_z,q_w,q_x,q_y,q_z\n")
+        for k in range(n):
+            t = k * dt_cam
+            ns = args.start_ns + int(round(t * 1e9))
+            R_wc, p = pose_at(t)
+            img = render(tex, R_wc, p)
+            # mild sensor noise + quantize
+            img = np.clip(img + rng.normal(0, 1.5, img.shape), 0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
+            fc.write(f"{ns},{ns}.png\n")
+            qw, qx, qy, qz = rot_to_quat_wxyz(R_wc)
+            fg.write(
+                f"{ns},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f},"
+                f"{qw:.7f},{qx:.7f},{qy:.7f},{qz:.7f}\n"
+            )
+            if k % 200 == 0:
+                print(f"rendered {k}/{n}", flush=True)
+
+    # --- IMU @ 200 Hz ---------------------------------------------------
+    bias_g = np.array([0.002, -0.0015, 0.001])
+    bias_a = np.array([0.02, 0.015, -0.01])
+    sg = 1.7e-4 * np.sqrt(IMU_HZ)  # discrete-time sigma from density
+    sa = 2.0e-3 * np.sqrt(IMU_HZ)
+    n_imu = int(round((n - 1) * dt_cam * IMU_HZ)) + 1
+    with open(os.path.join(imu_dir, "data.csv"), "w") as fi:
+        fi.write(
+            "#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y [rad s^-1],"
+            "w_RS_S_z [rad s^-1],a_RS_S_x [m s^-2],a_RS_S_y [m s^-2],"
+            "a_RS_S_z [m s^-2]\n"
+        )
+        for j in range(n_imu):
+            t = j / IMU_HZ
+            ns = args.start_ns + int(round(t * 1e9))
+            gyro, acc = imu_sample(t)
+            gyro = gyro + bias_g + rng.normal(0, sg, 3)
+            acc = acc + bias_a + rng.normal(0, sa, 3)
+            fi.write(
+                f"{ns},{gyro[0]:.8f},{gyro[1]:.8f},{gyro[2]:.8f},"
+                f"{acc[0]:.6f},{acc[1]:.6f},{acc[2]:.6f}\n"
+            )
+
+    print(f"wrote {n} frames + {n_imu} IMU samples -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--kmax", type=int, default=512)
     ap.add_argument("--pmax", type=int, default=65536)
+    ap.add_argument("--no-loop", action="store_true",
+                    help="disable place recognition (reloc + loop closing)")
+    ap.add_argument("--vocab", default=None,
+                    help="vocabulary .npz; trained from the sequence and "
+                         "cached here if missing")
     args = ap.parse_args()
 
     from orbslam3_tpu import config as cfg
@@ -70,6 +75,35 @@ def main():
         orb_params=settings.orb, imu_calib=imu_calib,
         Kmax=args.kmax, Pmax=args.pmax,
     )
+
+    if not args.no_loop:
+        # Place recognition (reloc + loop closing), as the reference
+        # always runs it (`System.cc:83-95`). The stock ORBvoc isn't
+        # shipped in this sandbox, so train a DBoW2-style tree from the
+        # sequence itself and cache it (`ops/bow.build_vocabulary`,
+        # ref `TemplatedVocabulary::create`).
+        from orbslam3_tpu.ops import bow, features as feat_ops
+        import jax.numpy as jnp
+
+        voc = None
+        if args.vocab and os.path.exists(args.vocab):
+            voc = bow.load_npz(args.vocab)
+            print(f"vocabulary: {voc.n_words} words (cached: {args.vocab})")
+        if voc is None:
+            t_voc = time.perf_counter()
+            stride = max(1, n // 40)
+            train = []
+            for k in range(0, n, stride):
+                f = feat_ops.extract(jnp.asarray(seq.read(k)), settings.orb)
+                train.append(np.asarray(f.desc)[np.asarray(f.valid)])
+            train = np.concatenate(train)
+            voc = bow.build_vocabulary(train, k=10, depth=4, seed=0)
+            print(f"vocabulary: trained {voc.n_words} words on "
+                  f"{len(train)} descriptors in "
+                  f"{time.perf_counter() - t_voc:.0f}s")
+            if args.vocab:
+                bow.save_npz(args.vocab, voc)
+        slam.enable_place_recognition(voc)
 
     cursor = 0
     t0 = time.perf_counter()
