@@ -253,10 +253,6 @@ def replace_points(
     this: move obs if the KF doesn't see the replacement, else erase).
     Found/visible statistics are accumulated onto the destination and the
     source points are invalidated.
-
-    Rare unhandled case (accepted): two *different* sources mapping to
-    the same destination inside one KF row leave a duplicate association;
-    the duplicate is removed by the next BA outlier pass.
     """
     P = state.Pmax
     src = jnp.clip(src_ids, 0, P - 1)
@@ -269,13 +265,22 @@ def replace_points(
     kf_mp = state.kf_mp  # (K, Nf)
     mapped = jnp.where(kf_mp >= 0, lut[jnp.clip(kf_mp, 0)], kf_mp)
     rewired = (mapped != kf_mp) & (kf_mp >= 0)
-    # Rows already containing the destination keep their incumbent obs:
-    # the rewired source obs is erased instead of duplicated.
-    ind = obs_indicator(state)  # (K, P) — BEFORE rewiring
-    K = kf_mp.shape[0]
+    # Row-wise dedupe: after the LUT a row may hold the same id twice —
+    # (a) the row already observed the destination (reference erases the
+    # rewired source obs, keeping the incumbent), or (b) two different
+    # sources landed on one destination. One claimant survives per
+    # (row, id): scatter-min a priority key (incumbents outrank rewired,
+    # ties by feature index) and keep only the winning feature.
+    K, Nf = kf_mp.shape
     rows = jnp.broadcast_to(jnp.arange(K)[:, None], kf_mp.shape)
-    dst_present = ind[rows, jnp.clip(mapped, 0)] > 0
-    new_kf_mp = jnp.where(rewired & dst_present, -1, mapped)
+    cols = jnp.broadcast_to(jnp.arange(Nf, dtype=jnp.int32)[None, :], kf_mp.shape)
+    key = jnp.where(rewired, cols + Nf, cols)
+    BIG = 2 * Nf + 1
+    winner = jnp.full((K, P), BIG, jnp.int32).at[rows, jnp.clip(mapped, 0)].min(
+        jnp.where(mapped >= 0, key, BIG)
+    )
+    keep = (mapped >= 0) & (winner[rows, jnp.clip(mapped, 0)] == key)
+    new_kf_mp = jnp.where(keep, mapped, jnp.where(mapped >= 0, -1, mapped))
 
     # Stats transfer + invalidate sources.
     add_found = jnp.where(live, state.mp_found[src], 0)
@@ -464,6 +469,29 @@ class MapStore:
         self.free_mp_slots: list[int] = []
         self.free_kf_slots: list[int] = []
         self.change_index = 0  # ref Map::GetMapChangeIndex (Tracking.cc:1081)
+        self._covis_cache = (-1, None)  # (change_index, np (K,K) weights)
+
+    def covisibility_np(self) -> np.ndarray:
+        """Host copy of the covisibility weights, cached per change_index.
+        The (K,P)@(P,K) MXU recompute costs ~40 ms at Kmax=512/Pmax=64k
+        and was being re-run up to ~6x per keyframe insertion (covisible
+        windows, fuse, culling, loop query); one cache per map version
+        removes all but the first (ref keeps mConnectedKeyFrameWeights
+        incrementally per KF, `KeyFrame::UpdateConnections`)."""
+        ver, W = self._covis_cache
+        if ver != self.change_index or W is None:
+            W = np.asarray(covisibility(self.state))
+            self._covis_cache = (self.change_index, W)
+        return W
+
+    def point_observers_np(self) -> np.ndarray:
+        """Host copy of per-point observer counts, cached per
+        change_index (same rationale as `covisibility_np`)."""
+        ver, n = getattr(self, "_obs_cache", (-1, None))
+        if ver != self.change_index or n is None:
+            n = np.asarray(point_observers(self.state))
+            self._obs_cache = (self.change_index, n)
+        return n
 
     # -- allocation -----------------------------------------------------
     def alloc_kf(self) -> int:

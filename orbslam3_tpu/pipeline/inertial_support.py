@@ -190,7 +190,7 @@ class ImuInitializer:
         """Build ImuEdge batch from consecutive-KF preintegrations
         (preints: dict kf_slot -> Preintegrated from its prev KF)."""
         s = store.state
-        prev = np.asarray(s.kf_prev[: store.n_kf])
+        prev = np.asarray(s.kf_prev)[: store.n_kf]
         pairs = [(int(prev[k]), k) for k in range(store.n_kf) if prev[k] >= 0 and k in preints]
         if not pairs:
             return None

@@ -142,6 +142,28 @@ def triangulate_pair(
     return Xw, good, m.idx
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def triangulate_batch(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    R1, t1, uv1, oct1, desc1, free1,  # current KF (shared)
+    R2s, t2s, uv2s, oct2s, desc2s, free2s,  # (B, ...) stacked neighbors
+    sigma2_table: jnp.ndarray,
+    scale_table: jnp.ndarray,
+    focal: float,
+):
+    """All neighbor pairs of `CreateNewMapPoints` in ONE program: vmap of
+    `triangulate_pair` over the (padded, fixed-size) neighbor axis.
+    The sequential per-neighbor loop cost ~10 dispatches + 10 host syncs
+    per keyframe (~2.5 s measured); this is one dispatch."""
+    return jax.vmap(
+        lambda R2, t2, uv2, oct2, desc2, free2: triangulate_pair(
+            model, params, R1, t1, R2, t2, uv1, oct1, desc1, free1,
+            uv2, oct2, desc2, free2, sigma2_table, scale_table, focal,
+        )
+    )(R2s, t2s, uv2s, oct2s, desc2s, free2s)
+
+
 # ---------------------------------------------------------------------------
 # Fuse (SearchInNeighbors)
 # ---------------------------------------------------------------------------
@@ -210,6 +232,21 @@ def fuse_into_kf(
     conflict = m_ok & (incumbent >= 0) & (incumbent != ids)
     conflict &= state.mp_valid[jnp.clip(incumbent, 0)]
     return new_row, jnp.sum(write.astype(jnp.int32)), incumbent, conflict
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_levels"))
+def _fuse_batch(
+    model, params, state, nb_ids, cand_ids, cand_valid, img_wh,
+    sigma2_table, n_levels: int = 8,
+):
+    """vmap of `fuse_into_kf` over the neighbor axis (SearchInNeighbors
+    direction 1 in one dispatch)."""
+    return jax.vmap(
+        lambda nb: fuse_into_kf(
+            model, params, state, nb, cand_ids, cand_valid, img_wh,
+            sigma2_table, n_levels=n_levels,
+        )
+    )(nb_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +331,83 @@ def local_ba(
 # ---------------------------------------------------------------------------
 
 
+def resolve_and_replace(store, conflicts_src, conflicts_dst, anchor_kf: int):
+    """Resolve fuse conflicts by `MapPoint::Replace` semantics: keep the
+    most-observed point of each (candidate, incumbent) pair
+    (`ORBmatcher::Fuse` `ORBmatcher.cc:1630`, `MapPoint::Replace`).
+    Shared by local mapping's SearchInNeighbors and loop closing's
+    SearchAndFuse. Returns the list of freed (replaced) slots; the caller
+    must purge them from any slot-keyed bookkeeping before reuse.
+
+    3D sanity gate: only merge points whose current positions agree to
+    ~the depth uncertainty of a duplicate (along-ray triangulation
+    error), not points from different structures. (TPU-side addition to
+    ref Fuse: our batched matcher lacks the grid-walk ordering that
+    implicitly limits ref merges.)
+    """
+    import os as _os
+
+    a = np.concatenate(conflicts_src).astype(np.int64)
+    b = np.concatenate(conflicts_dst).astype(np.int64)
+    pos = np.asarray(store.state.mp_pos)
+    Rk = np.asarray(store.state.kf_R[jnp.asarray(anchor_kf)])
+    tk = np.asarray(store.state.kf_t[jnp.asarray(anchor_kf)])
+    Ow = -Rk.T @ tk
+    depth = np.linalg.norm(pos[b] - Ow, axis=1)
+    gap = np.linalg.norm(pos[a] - pos[b], axis=1)
+    sane = gap <= 0.2 * np.maximum(depth, 1e-6)
+    a, b = a[sane], b[sane]
+    obs = store.point_observers_np()
+    keep_b = obs[b] >= obs[a]
+    src0 = np.where(keep_b, a, b)
+    dst0 = np.where(keep_b, b, a)
+    # Dedupe sources (a point replaced once is gone), then resolve
+    # replacement CHAINS: if (a -> b) and (c -> a) are both in the
+    # batch, c must land on b — the device LUT is applied once, so
+    # an unresolved chain would leave c's observations pointing at
+    # the invalidated a. Cycles are dropped.
+    src0, uniq = np.unique(src0, return_index=True)
+    mapping = dict(zip(src0.tolist(), dst0[uniq].tolist()))
+    pairs = []
+    for s_, d_ in mapping.items():
+        seen = {s_}
+        while d_ in mapping and d_ not in seen:
+            seen.add(d_)
+            d_ = mapping[d_]
+        if d_ in seen:  # cycle — leave these points alone
+            continue
+        pairs.append((s_, d_))
+    if not pairs:
+        return []
+    src = np.asarray([p[0] for p in pairs], np.int64)
+    dst = np.asarray([p[1] for p in pairs], np.int64)
+    if _os.environ.get("DEBUG_FUSE") and len(src):
+        gap = np.linalg.norm(pos[src] - pos[dst], axis=1)
+        print(
+            f"  [fuse] kf={anchor_kf} merges={len(src)} "
+            f"gap mean={gap.mean():.3f} max={gap.max():.3f} "
+            f"obs_src={obs[src].mean():.1f} obs_dst={obs[dst].mean():.1f}",
+            flush=True,
+        )
+    CAP = 1024
+    for start in range(0, len(src), CAP):
+        cs = src[start : start + CAP]
+        cd = dst[start : start + CAP]
+        pad = CAP - len(cs)
+        store.state = st.replace_points(
+            store.state,
+            jnp.asarray(np.concatenate([cs, np.full(pad, -1)]), jnp.int32),
+            jnp.asarray(np.concatenate([cd, np.full(pad, -1)]), jnp.int32),
+            jnp.asarray(
+                np.concatenate([np.ones(len(cs), bool), np.zeros(pad, bool)])
+            ),
+        )
+    freed = [int(x) for x in src]
+    if not _os.environ.get("NO_FREE"):
+        store.free_mp_slots.extend(freed)
+    return freed
+
+
 class LocalMapper:
     """Synchronous local mapping (one call per keyframe insertion)."""
 
@@ -365,7 +479,7 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _covisible(self, kf_id: int, n: int) -> np.ndarray:
-        W = np.asarray(st.covisibility(self.store.state))
+        W = self.store.covisibility_np()
         weights = W[kf_id][: self.store.n_kf]
         order = np.argsort(-weights)
         top = order[weights[order] >= 15][:n]  # ref th=15 (KeyFrame.cc:469)
@@ -373,77 +487,127 @@ class LocalMapper:
             top = order[weights[order] > 0][:n]
         return top.astype(np.int32)
 
+    NB_BATCH = 10  # fixed neighbor batch -> one compiled shape
+
     def _create_new_points(self, kf_id: int):
         """`CreateNewMapPoints` (`LocalMapping.cc:501`): triangulate with
-        the 10 (mono: 20) best covisible KFs."""
+        the 10 best covisible KFs — all pairs in ONE vmapped device
+        program, then a single fixed-shape point insert + association
+        scatter (the sequential per-neighbor version cost ~2.5 s/KF in
+        dispatches and host syncs)."""
         s = self.store.state
-        neighbors = self._covisible(kf_id, 10)
+        neighbors = self._covisible(kf_id, self.NB_BATCH)
         if len(neighbors) == 0 and self.store.n_kf >= 2:
             neighbors = np.asarray([kf_id - 1], np.int32)
+        if len(neighbors) == 0:
+            self.store.bump()
+            return
+        B = self.NB_BATCH
+        nb = np.full(B, neighbors[0], np.int32)
+        nb[: min(len(neighbors), B)] = neighbors[:B]
+        nb_mask = np.zeros(B, bool)
+        nb_mask[: min(len(neighbors), B)] = True
         kf_j = jnp.asarray(kf_id)
-        free_cur = np.asarray((s.kf_mp[kf_j] < 0) & s.kf_feat_valid[kf_j])
-        claimed = np.zeros_like(free_cur)
-        for nb in neighbors:
-            s = self.store.state
-            nb_j = jnp.asarray(int(nb))
-            # Baseline check (LocalMapping.cc:540): skip if baseline too
-            # short vs median scene depth — approximated by 1% of median
-            # point depth in the neighbor frame.
-            Xw, good, idx2 = triangulate_pair(
-                self.model, self.params,
-                s.kf_R[kf_j], s.kf_t[kf_j], s.kf_R[nb_j], s.kf_t[nb_j],
-                s.kf_uv[kf_j], s.kf_octave[kf_j], s.kf_desc[kf_j],
-                jnp.asarray(free_cur & ~claimed),
-                s.kf_uv[nb_j], s.kf_octave[nb_j], s.kf_desc[nb_j],
-                (s.kf_mp[nb_j] < 0) & s.kf_feat_valid[nb_j],
-                self.sigma2_table, self.scale_table, self.focal,
-            )
-            good_np = np.asarray(good)
-            n_new = int(good_np.sum())
-            if n_new == 0:
+        nb_j = jnp.asarray(nb)
+        free_cur = (s.kf_mp[kf_j] < 0) & s.kf_feat_valid[kf_j]
+        free_nbs = (
+            (s.kf_mp[nb_j] < 0)
+            & s.kf_feat_valid[nb_j]
+            & jnp.asarray(nb_mask)[:, None]
+        )
+        Xw_b, good_b, idx2_b = triangulate_batch(
+            self.model, self.params,
+            s.kf_R[kf_j], s.kf_t[kf_j], s.kf_uv[kf_j], s.kf_octave[kf_j],
+            s.kf_desc[kf_j], free_cur,
+            s.kf_R[nb_j], s.kf_t[nb_j], s.kf_uv[nb_j], s.kf_octave[nb_j],
+            s.kf_desc[nb_j], free_nbs,
+            self.sigma2_table, self.scale_table, self.focal,
+        )
+        good_b = np.asarray(good_b)
+        Xw_b = np.asarray(Xw_b)
+        idx2_b = np.asarray(idx2_b)
+
+        # Claim resolution in covisibility order: each current-KF feature
+        # triangulates with its best-connected neighbor only (the
+        # sequential loop's `claimed` semantics).
+        claimed = np.zeros(s.Nf, bool)
+        picks = []
+        for b in range(B):
+            if not nb_mask[b]:
                 continue
-            sel = np.flatnonzero(good_np)
-            slots = self.store.alloc_mps(n_new)
-            # FIXED-SHAPE insert: pad to Nf rows targeting the dump slot so
-            # every call reuses one compiled executable (variable-length
-            # scatters would mint a new XLA program per size).
-            CAP = s.Nf
-            pad = CAP - n_new
-            slots_p = np.concatenate([slots, np.full(pad, self.store.dump_slot, np.int32)])
-            valid_p = np.concatenate([np.ones(n_new, bool), np.zeros(pad, bool)])
-            sel_p = np.concatenate([sel, np.zeros(pad, np.int64)])
-            Xw_np = np.asarray(Xw)[sel_p]
-            desc = np.asarray(s.kf_desc[kf_j])[sel_p]
-            # Normal & scale band from the current KF.
-            Rwc = np.asarray(s.kf_R[kf_j]).T
-            Ow = -Rwc @ np.asarray(s.kf_t[kf_j])
-            vec = Xw_np - Ow
-            dist = np.linalg.norm(vec, axis=-1)
-            normal = vec / np.maximum(dist[:, None], 1e-9)
-            octs = np.asarray(s.kf_octave[kf_j])[sel_p]
-            sf = np.asarray(self.scale_table)
-            max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
-            min_d = max_d / sf[-1]
-            new_state = st.add_points(
-                s, jnp.asarray(slots_p), jnp.asarray(Xw_np, jnp.float32),
-                jnp.asarray(desc), jnp.asarray(normal, jnp.float32),
-                jnp.asarray(min_d, jnp.float32), jnp.asarray(max_d, jnp.float32),
-                jnp.full(CAP, kf_id, jnp.int32), jnp.asarray(valid_p),
-            )
-            # Associations in both KFs: whole-row writes (fixed shape).
-            row1 = np.asarray(new_state.kf_mp[kf_j]).copy()
-            row1[sel] = slots
-            row2 = np.asarray(new_state.kf_mp[nb_j]).copy()
-            idx2_np = np.asarray(idx2)[sel]
-            row2[idx2_np] = slots
-            new_state = new_state._replace(
-                kf_mp=new_state.kf_mp.at[kf_j].set(jnp.asarray(row1))
-                .at[nb_j].set(jnp.asarray(row2))
-            )
-            self.store.state = new_state
+            sel = np.flatnonzero(good_b[b] & ~claimed)
+            if len(sel) == 0:
+                continue
             claimed[sel] = True
-            self.recent_mp.append((kf_id, slots))
+            picks.append((b, sel))
+        if not picks:
+            self.store.bump()
+            return
+        sel_all = np.concatenate([sel for _, sel in picks])
+        b_all = np.concatenate(
+            [np.full(len(sel), b, np.int64) for b, sel in picks]
+        )
+        total = len(sel_all)
+        slots = self.store.alloc_mps(total)
+
+        # FIXED-SHAPE insert: pad to Nf rows targeting the dump slot so
+        # every call reuses one compiled executable.
+        CAP = s.Nf
+        pad = CAP - total
+        slots_p = np.concatenate([slots, np.full(pad, self.store.dump_slot, np.int32)])
+        valid_p = np.concatenate([np.ones(total, bool), np.zeros(pad, bool)])
+        sel_p = np.concatenate([sel_all, np.zeros(pad, np.int64)])
+        Xw_np = Xw_b[np.concatenate([b_all, np.zeros(pad, np.int64)]), sel_p]
+        desc = np.asarray(s.kf_desc[kf_j])[sel_p]
+        # Normal & scale band from the current KF.
+        Rwc = np.asarray(s.kf_R[kf_j]).T
+        Ow = -Rwc @ np.asarray(s.kf_t[kf_j])
+        vec = Xw_np - Ow
+        dist = np.linalg.norm(vec, axis=-1)
+        normal = vec / np.maximum(dist[:, None], 1e-9)
+        octs = np.asarray(s.kf_octave[kf_j])[sel_p]
+        sf = np.asarray(self.scale_table)
+        max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
+        min_d = max_d / sf[-1]
+        new_state = st.add_points(
+            s, jnp.asarray(slots_p), jnp.asarray(Xw_np, jnp.float32),
+            jnp.asarray(desc), jnp.asarray(normal, jnp.float32),
+            jnp.asarray(min_d, jnp.float32), jnp.asarray(max_d, jnp.float32),
+            jnp.full(CAP, kf_id, jnp.int32), jnp.asarray(valid_p),
+        )
+
+        # Associations: current-KF row + all neighbor rows in one scatter.
+        row1 = np.asarray(new_state.kf_mp[kf_j]).copy()
+        row1[sel_all] = slots
+        base = np.asarray(new_state.kf_mp[nb_j]).copy()  # (B, Nf)
+        final = {}
+        off = 0
+        for b, sel in picks:
+            r = final.get(int(nb[b]), base[b]).copy()
+            r[idx2_b[b, sel]] = slots[off : off + len(sel)]
+            final[int(nb[b])] = r
+            off += len(sel)
+        # Padded duplicates must carry identical content for their slot.
+        rows2 = np.stack([final.get(int(nb[b]), base[b]) for b in range(B)])
+        new_state = new_state._replace(
+            kf_mp=new_state.kf_mp.at[kf_j].set(jnp.asarray(row1))
+            .at[nb_j].set(jnp.asarray(rows2))
+        )
+        self.store.state = new_state
+        self.recent_mp.append((kf_id, slots))
         self.store.bump()
+
+    def purge_freed(self, freed):
+        """Freed slots will be REALLOCATED to brand-new points; purge them
+        from pending culling batches or the new tenants would be judged by
+        the old point's birth age and culled at birth. Called after any
+        point replacement — including by the loop closer's SearchAndFuse."""
+        if not freed:
+            return
+        freed = list(freed)
+        self.recent_mp = [
+            (b, s[~np.isin(s, freed)]) for b, s in self.recent_mp
+        ]
 
     def _fuse_neighbors(self, kf_id: int):
         """`SearchInNeighbors` (`LocalMapping.cc:913`), both directions:
@@ -457,7 +621,7 @@ class LocalMapper:
         s = self.store.state
         neighbors = self._covisible(kf_id, 10)
         # 2-hop expansion: 5 best covisibles of each neighbor (ref :930).
-        Wmat = np.asarray(st.covisibility(s))
+        Wmat = self.store.covisibility_np()
         nkf = self.store.n_kf
         hood = set(int(n) for n in neighbors)
         for nb in list(hood):
@@ -476,20 +640,31 @@ class LocalMapper:
                 conflicts_src.append(cand_np[conf])
                 conflicts_dst.append(np.asarray(inc)[conf])
 
-        # Direction 1: current KF's points into 1-hop neighbors.
+        # Direction 1: current KF's points into 1-hop neighbors — all
+        # neighbors in one vmapped program + one row scatter (each
+        # neighbor's fuse touches only its own row, so the batched form
+        # is exact; padding lanes duplicate lane 0 and produce identical
+        # rows, and their conflicts are dropped below).
         cand = np.asarray(s.kf_mp[jnp.asarray(kf_id)])
         cand_ids = jnp.asarray(np.where(cand >= 0, cand, 0))
         cand_valid = jnp.asarray(cand >= 0)
-        for nb in neighbors:
-            nb_j = jnp.asarray(int(nb))
-            new_row, n_fused, inc, conf = fuse_into_kf(
-                self.model, self.params, self.store.state, nb_j,
-                cand_ids, cand_valid, jnp.asarray(self.img_wh), self.sigma2_table,
+        if len(neighbors):
+            B = LocalMapper.NB_BATCH
+            nb_p = np.full(B, neighbors[0], np.int32)
+            nb_p[: min(len(neighbors), B)] = neighbors[:B]
+            rows_b, _n_b, inc_b, conf_b = _fuse_batch(
+                self.model, self.params, self.store.state,
+                jnp.asarray(nb_p), cand_ids, cand_valid,
+                jnp.asarray(self.img_wh), self.sigma2_table,
             )
             self.store.state = self.store.state._replace(
-                kf_mp=self.store.state.kf_mp.at[nb_j].set(new_row)
+                kf_mp=self.store.state.kf_mp.at[jnp.asarray(nb_p)].set(rows_b)
             )
-            _collect(np.where(cand >= 0, cand, 0), inc, conf)
+            inc_b = np.asarray(inc_b)
+            conf_b = np.asarray(conf_b)
+            cand_pos = np.where(cand >= 0, cand, 0)
+            for b in range(min(len(neighbors), B)):
+                _collect(cand_pos, inc_b[b], conf_b[b])
 
         # Direction 2: neighborhood points into the current KF.
         import os as _os
@@ -520,76 +695,10 @@ class LocalMapper:
         if _os.environ.get("NO_REPLACE"):
             conflicts_src = []
         if conflicts_src:
-            a = np.concatenate(conflicts_src).astype(np.int64)
-            b = np.concatenate(conflicts_dst).astype(np.int64)
-            # 3D sanity gate: only merge points whose current positions
-            # agree to ~the depth uncertainty of a duplicate (along-ray
-            # triangulation error), not points from different structures.
-            # (TPU-side addition to ref Fuse: our batched matcher lacks
-            # the grid-walk ordering that implicitly limits ref merges.)
-            pos = np.asarray(self.store.state.mp_pos)
-            Rk = np.asarray(self.store.state.kf_R[jnp.asarray(kf_id)])
-            tk = np.asarray(self.store.state.kf_t[jnp.asarray(kf_id)])
-            Ow = -Rk.T @ tk
-            depth = np.linalg.norm(pos[b] - Ow, axis=1)
-            gap = np.linalg.norm(pos[a] - pos[b], axis=1)
-            sane = gap <= 0.2 * np.maximum(depth, 1e-6)
-            a, b = a[sane], b[sane]
-            obs = np.asarray(st.point_observers(self.store.state))
-            keep_b = obs[b] >= obs[a]
-            src0 = np.where(keep_b, a, b)
-            dst0 = np.where(keep_b, b, a)
-            # Dedupe sources (a point replaced once is gone), then resolve
-            # replacement CHAINS: if (a -> b) and (c -> a) are both in the
-            # batch, c must land on b — the device LUT is applied once, so
-            # an unresolved chain would leave c's observations pointing at
-            # the invalidated a. Cycles are dropped.
-            src0, uniq = np.unique(src0, return_index=True)
-            mapping = dict(zip(src0.tolist(), dst0[uniq].tolist()))
-            pairs = []
-            for s_, d_ in mapping.items():
-                seen = {s_}
-                while d_ in mapping and d_ not in seen:
-                    seen.add(d_)
-                    d_ = mapping[d_]
-                if d_ in seen:  # cycle — leave these points alone
-                    continue
-                pairs.append((s_, d_))
-            if not pairs:
-                src = np.zeros(0, np.int64)
-                dst = np.zeros(0, np.int64)
-            else:
-                src = np.asarray([p[0] for p in pairs], np.int64)
-                dst = np.asarray([p[1] for p in pairs], np.int64)
-            if _os.environ.get("DEBUG_FUSE") and len(src):
-                pos = np.asarray(self.store.state.mp_pos)
-                gap = np.linalg.norm(pos[src] - pos[dst], axis=1)
-                print(
-                    f"  [fuse] kf={kf_id} merges={len(src)} "
-                    f"gap mean={gap.mean():.3f} max={gap.max():.3f} "
-                    f"obs_src={obs[src].mean():.1f} obs_dst={obs[dst].mean():.1f}",
-                    flush=True,
-                )
-            CAP = 1024
-            for start in range(0, len(src), CAP):
-                cs = src[start : start + CAP]
-                cd = dst[start : start + CAP]
-                pad = CAP - len(cs)
-                self.store.state = st.replace_points(
-                    self.store.state,
-                    jnp.asarray(np.concatenate([cs, np.full(pad, -1)]), jnp.int32),
-                    jnp.asarray(np.concatenate([cd, np.full(pad, -1)]), jnp.int32),
-                    jnp.asarray(np.concatenate([np.ones(len(cs), bool), np.zeros(pad, bool)])),
-                )
-            if not _os.environ.get('NO_FREE'):
-                self.store.free_mp_slots.extend(int(x) for x in src)
-            # Freed slots will be REALLOCATED to brand-new points; purge
-            # them from pending culling batches or the new tenants would
-            # be judged by the old point's birth age and culled at birth.
-            freed = set(int(x) for x in src)
-            self.recent_mp = [
-                (b, s[~np.isin(s, list(freed))]) for b, s in self.recent_mp
-            ]
+            freed = resolve_and_replace(
+                self.store, conflicts_src, conflicts_dst, kf_id
+            )
+            self.purge_freed(freed)
 
         if _os.environ.get("DEBUG_FUSE"):
             km = np.asarray(self.store.state.kf_mp)
@@ -608,7 +717,7 @@ class LocalMapper:
         cov = self._covisible(kf_id, WINDOW - 1)
         window = np.concatenate([[kf_id], cov]).astype(np.int32)[:WINDOW]
         # Fixed frontier: KFs sharing points with the window, not in it.
-        Wmat = np.asarray(st.covisibility(s))
+        Wmat = self.store.covisibility_np()
         nkf = self.store.n_kf
         shares = Wmat[window][:, :nkf].sum(0)
         cand = np.argsort(-shares)
@@ -656,7 +765,7 @@ class LocalMapper:
         candidates = [c for c in self._covisible(kf_id, 10) if int(c) not in protected]
         if not candidates:
             return
-        observers = np.asarray(st.point_observers(s))
+        observers = self.store.point_observers_np()
         kf_mp = np.asarray(s.kf_mp)
         valid = np.asarray(s.kf_valid)
         for c in candidates:
@@ -712,7 +821,7 @@ class LocalMapper:
         if not self.recent_mp:
             return
         s = self.store.state
-        observers = np.asarray(st.point_observers(s))
+        observers = self.store.point_observers_np()
         found = np.asarray(s.mp_found)
         visible = np.asarray(s.mp_visible)
         mp_valid = np.asarray(s.mp_valid)
@@ -781,7 +890,7 @@ class LocalMapper:
             self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
             import os as _os
             if _os.environ.get("DEBUG_INIT"):
-                vels = np.asarray(s.kf_vel[: self.store.n_kf])
+                vels = np.asarray(s.kf_vel)[: self.store.n_kf]
                 print(
                     f"  [init/post] kf={kf_id} vel={np.asarray(s.kf_vel[kf_j]).round(3)} "
                     f"|v| mean={np.linalg.norm(vels, axis=1).mean():.3f} "

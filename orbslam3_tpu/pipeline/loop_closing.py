@@ -15,9 +15,19 @@ multi-map merge lands with the Atlas). Stage mapping:
   `LoopClosing.cc:1093-1330`), then full BA
   (`RunGlobalBundleAdjustment`, `:2513`).
 
-The reference requires 3 consecutive confirmations (`:367`); round-1 uses
-a single strong confirmation with higher inlier gates; the temporal
-consistency counter is wired but optional.
+Robustness machinery (ref `LoopClosing.cc`):
+
+* 3-consecutive-confirmation temporal consistency (`:367`,
+  `DetectAndReffineSim3FromLastKF:564`): a geometrically verified
+  candidate only arms a *pending region*; the next keyframes must
+  re-verify against the same covisible region before the correction
+  fires (`consecutive` param; 1 = fire immediately, for tiny tests).
+* `SearchAndFuse` (`:1259`) after the pose-graph correction: loop-side
+  map points are projected into the current-side window and duplicate
+  landmarks are replaced keeping the most-observed point.
+* 4-DoF essential graph (`OptimizeEssentialGraph4DoF`,
+  `Optimizer.cc:8604`) when the map is inertial (gravity + scale are
+  observable -> only yaw + translation drift), 7-DoF Sim3 otherwise.
 """
 
 from __future__ import annotations
@@ -31,6 +41,7 @@ import numpy as np
 
 from orbslam3_tpu.atlas import store as st
 from orbslam3_tpu.atlas.kfdb import KeyFrameDB
+from orbslam3_tpu.utils import timing
 from orbslam3_tpu.ops import cameras as cam
 from orbslam3_tpu.ops import lie, matching, ransac
 from orbslam3_tpu.optim import ba as ba_mod
@@ -49,6 +60,11 @@ class LoopCloser:
         min_sim3_inliers: int = 20,
         min_kfs: int = 12,
         run_gba: bool = True,
+        consecutive: int = 3,
+        inertial: bool = False,
+        img_wh=None,
+        scale_table=None,
+        mapper=None,
     ):
         self.model = model
         self.params = params
@@ -59,8 +75,17 @@ class LoopCloser:
         self.min_sim3_inliers = min_sim3_inliers
         self.min_kfs = min_kfs
         self.run_gba = run_gba
+        self.consecutive = consecutive
+        self.inertial = inertial
+        self.img_wh = img_wh
+        self.scale_table = scale_table
+        self.mapper = mapper  # for purge_freed after SearchAndFuse
         self.last_loop_kf = -10_000
         self.n_loops_closed = 0
+        # Pending region for temporal consistency: (loop_kf, count,
+        # last confirming kf). Ref mnLoopNumCoincidences
+        # (`LoopClosing.cc:345-475`).
+        self._pending: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int) -> bool:
@@ -72,22 +97,60 @@ class LoopCloser:
             return False
         if kf_id - self.last_loop_kf < 10:  # cool-down after a closure
             return False
-        covis = st.covisibility(s)
-        cand_ids, cand_scores = self.kfdb.query(kf_id, covis)
+        with timing.span("loop/covis+query"):
+            covis_np = self.store.covisibility_np()
+            covis = jnp.asarray(covis_np)
+            cand_ids, cand_scores = self.kfdb.query(kf_id, covis)
         for c in np.asarray(cand_ids):
             if c < 0 or c == kf_id:
                 continue
             # Temporal guard: candidates too close in time are not loops.
             if abs(int(c) - kf_id) < 10:
                 continue
-            if self._verify_and_correct(kf_id, int(c)):
+            verdict = self._verify_sim3(kf_id, int(c))
+            if verdict is None:
+                continue
+            R21, t21, s21 = verdict
+            if self._confirm(kf_id, int(c), covis_np):
+                self._correct_loop(kf_id, int(c), R21, t21, s21)
+                self._pending = None
                 self.last_loop_kf = kf_id
                 self.n_loops_closed += 1
                 return True
+            return False  # armed/extended the pending region this KF
+        # No candidate verified this KF: a pending region that missed a
+        # beat is dropped (ref resets mnLoopNumCoincidences via
+        # mnLoopNumNotFound, `LoopClosing.cc:456-470`).
+        if self._pending is not None and kf_id - self._pending[2] >= 2:
+            self._pending = None
         return False
 
     # ------------------------------------------------------------------
-    def _verify_and_correct(self, kf_id: int, cand: int) -> bool:
+    def _confirm(self, kf_id: int, cand: int, covis_np) -> bool:
+        """Temporal-consistency accounting (`LoopClosing.cc:367`): the
+        verified (kf, cand) pair must hit the SAME loop region as the
+        pending detection on `consecutive` consecutive keyframes."""
+        if self.consecutive <= 1:
+            return True
+        if self._pending is not None:
+            loop_kf, count, last_kf = self._pending
+            same_region = (
+                abs(cand - loop_kf) <= 15
+                or covis_np[cand, loop_kf] >= 15
+            )
+            if same_region and kf_id > last_kf:
+                count += 1
+                self._pending = (cand, count, kf_id)
+                return count >= self.consecutive
+        self._pending = (cand, 1, kf_id)
+        return 1 >= self.consecutive
+
+    # ------------------------------------------------------------------
+    def _verify_sim3(self, kf_id: int, cand: int):
+        with timing.span("loop/verify_sim3"):
+            return self._verify_sim3_impl(kf_id, cand)
+
+    def _verify_sim3_impl(self, kf_id: int, cand: int):
         s = self.store.state
         kf_j = jnp.asarray(kf_id)
         cd_j = jnp.asarray(cand)
@@ -103,7 +166,7 @@ class LoopCloser:
         )
         n_m = int(np.asarray(m.valid).sum())
         if n_m < self.min_bow_matches:
-            return False
+            return None
 
         # 2) Sim3 RANSAC on the matched 3D points, expressed in each KF's
         #    camera frame (ref Sim3Solver operates on camera-frame points).
@@ -131,16 +194,13 @@ class LoopCloser:
             jnp.asarray(valid), jax.random.PRNGKey(kf_id),
             jnp.asarray(err1, jnp.float32), jnp.asarray(err2, jnp.float32),
             proj, proj, jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
-            fix_scale=False, min_inliers=self.min_sim3_inliers,
+            fix_scale=self.inertial, min_inliers=self.min_sim3_inliers,
         )
         if not bool(ok):
-            return False
-        n_inl = int(np.asarray(inl).sum())
-
+            return None
         # Sim3 mapping X2(cand camera) = S21(X1(cur camera)):
         # horn gave X2 ~= s R X1 + t, i.e. S21 = (R12, t12, s12).
-        self._correct_loop(kf_id, cand, np.asarray(R12), np.asarray(t12), float(s12))
-        return True
+        return np.asarray(R12), np.asarray(t12), float(s12)
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf_id: int, loop_kf: int, R21, t21, s21):
@@ -165,7 +225,7 @@ class LoopCloser:
         fixed |= ~kf_valid
 
         # Edges: temporal chain + covisibility(>=30) + the loop edge.
-        covis = np.asarray(st.covisibility(s))
+        covis = self.store.covisibility_np()
         ei, ej = [], []
         ew = []
         for k in range(1, nkf):
@@ -207,7 +267,13 @@ class LoopCloser:
             edge_valid=jnp.ones(E, bool), edge_weight=jnp.asarray(ew, np.float32),
         )
         R_old, t_old = s.kf_R, s.kf_t
-        R_new, t_new, s_new = pg.solve_pose_graph(graph, iters=12)
+        # Inertial maps: gravity + scale observable -> 4-DoF essential
+        # graph (yaw + translation, unit scale; ref
+        # `OptimizeEssentialGraph4DoF` `Optimizer.cc:8604`, chosen at
+        # `LoopClosing.cc:1298`). Visual maps: full 7-DoF Sim3.
+        R_new, t_new, s_new = pg.solve_pose_graph(
+            graph, iters=12, dof4=self.inertial
+        )
 
         # Map points: re-express through their reference (first) KF.
         ref = jnp.clip(s.mp_first_kf, 0, K - 1)
@@ -223,8 +289,73 @@ class LoopCloser:
         store.state = s._replace(kf_R=R_new, kf_t=t_se3, mp_pos=newp)
         store.bump()
 
+        self._search_and_fuse(kf_id, loop_kf, covis)
+
         if self.run_gba:
             self._global_ba(kf_id)
+
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, kf_id: int, loop_kf: int, covis):
+        """`SearchAndFuse` (`LoopClosing.cc:1259`): after correction, the
+        loop side and the current side overlap in space but hold
+        duplicate landmarks. Project the loop window's map points into
+        the current window's keyframes; replace duplicates keeping the
+        most-observed point. Without this, duplicated points double-count
+        observations and skew covisibility after every closure."""
+        if self.img_wh is None:
+            return  # not wired (legacy construction) — skip
+        from orbslam3_tpu.pipeline import local_mapping as lm
+
+        store = self.store
+        s = store.state
+        nkf = store.n_kf
+        cw = np.asarray(covis)
+
+        def window(center, n):
+            order = np.argsort(-cw[center][:nkf])
+            w = [center] + [int(x) for x in order[:n] if cw[center][x] >= 15]
+            return w
+
+        cur_win = window(kf_id, 10)
+        loop_win = window(loop_kf, 10)
+        kf_mp = np.asarray(s.kf_mp)
+        pool = np.unique(kf_mp[loop_win].reshape(-1))
+        pool = pool[pool >= 0]
+        if not len(pool):
+            return
+        conflicts_src, conflicts_dst = [], []
+        CAP = 4096
+        for tgt in cur_win:
+            tgt_j = jnp.asarray(int(tgt))
+            for start in range(0, len(pool), CAP):
+                chunk = pool[start : start + CAP]
+                pad = CAP - len(chunk)
+                ids = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+                valid = np.concatenate(
+                    [np.ones(len(chunk), bool), np.zeros(pad, bool)]
+                )
+                new_row, _n, inc, conf = lm.fuse_into_kf(
+                    self.model, self.params, store.state, tgt_j,
+                    jnp.asarray(ids, jnp.int32), jnp.asarray(valid),
+                    jnp.asarray(self.img_wh), self.sigma2_table,
+                )
+                store.state = store.state._replace(
+                    kf_mp=store.state.kf_mp.at[tgt_j].set(new_row)
+                )
+                conf = np.asarray(conf)
+                if conf.any():
+                    conflicts_src.append(ids.astype(np.int64)[conf])
+                    conflicts_dst.append(np.asarray(inc)[conf])
+        if conflicts_src:
+            freed = lm.resolve_and_replace(
+                store, conflicts_src, conflicts_dst, kf_id
+            )
+            if self.mapper is not None:
+                self.mapper.purge_freed(freed)
+            if self.scale_table is not None:
+                row = np.asarray(store.state.kf_mp[jnp.asarray(kf_id)])
+                st.refresh_points(store, row[row >= 0], self.scale_table)
+        store.bump()
 
     def _global_ba(self, kf_id: int):
         """`RunGlobalBundleAdjustment` (`LoopClosing.cc:2513`): full BA,

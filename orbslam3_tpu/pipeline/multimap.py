@@ -112,7 +112,7 @@ class MultiMapManager:
             if target is act or target.n_kf < 3 or id(target) not in self.kfdbs:
                 continue
             db = self.kfdbs[id(target)]
-            covis = st.covisibility(target.state)
+            covis = jnp.asarray(target.covisibility_np())
             cand_ids, _ = db.query_frame(desc, fvalid, covis, n_best=3)
             for c in np.asarray(cand_ids):
                 if c < 0:

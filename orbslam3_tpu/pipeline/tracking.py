@@ -239,6 +239,36 @@ def _pose_inertial_from_assoc(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _pose_inertial_lf_from_assoc(
+    model, params, assoc, f_cur: feat.Features, mp_pos, mp_valid,
+    sigma2_table, Rbc, tbc, R_lf, p_lf, v_lf, bg_lf, ba_lf, H_prior,
+    pre, R0, t0, v0, ur=None, bf=0.0,
+):
+    """`PoseInertialOptimizationLastFrame` (`Optimizer.cc:8068`): the
+    anchor is the previous FRAME's body state with its marginalization
+    prior; both frames are free (30 dof) and the last frame is
+    marginalized out afterwards to produce the next prior."""
+    from orbslam3_tpu.optim import pose_inertial
+
+    ok = (assoc >= 0) & f_cur.valid & mp_valid[jnp.clip(assoc, 0)]
+    s2 = sigma2_table[jnp.clip(f_cur.octave, 0, sigma2_table.shape[0] - 1)]
+    obs = pose_only.PoseObs(
+        Xw=mp_pos[jnp.clip(assoc, 0)],
+        uv=f_cur.uv,
+        ur=ur if ur is not None else jnp.full(assoc.shape, -1.0),
+        sigma2=s2,
+        valid=ok,
+    )
+    Rwc0 = jnp.swapaxes(R0, -1, -2)
+    R0b = Rwc0 @ jnp.swapaxes(Rbc, -1, -2)
+    p0b = -Rwc0 @ t0 + Rwc0 @ (-jnp.swapaxes(Rbc, -1, -2) @ tbc)
+    return pose_inertial.optimize_pose_inertial_last_frame(
+        model, params, obs, Rbc, tbc,
+        R_lf, p_lf, v_lf, bg_lf, ba_lf, H_prior, pre, R0b, p0b, v0, bf=bf,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host tracker
 # ---------------------------------------------------------------------------
@@ -273,6 +303,13 @@ class Tracker:
         self.init_frame: Optional[fr.FrameData] = None
         self.ref_kf: int = -1  # covisibility reference (ref mpReferenceKF)
         self.last_kf_id: int = -1  # temporal chain anchor (ref mpLastKeyFrame)
+        # Marginalization prior of the last frame's 15-dof body state
+        # (ref Frame::mpcpi, `ConstraintPoseImu`): (R,p,v,bg,ba,H15).
+        # Valid only while the map is unchanged since it was built
+        # (ref mbMapUpdated switches back to the LastKeyFrame variant).
+        self.frame_prior = None
+        self.prior_map_version: int = -1
+        self.prior_ts: float = -1.0  # timestamp of the frame the prior belongs to
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (R, t) of Tcl
         self.frames_since_kf = 0
         self.frame_id = 0
@@ -319,6 +356,10 @@ class Tracker:
         (rescaled) map from a wrong pose."""
         Rwg = np.asarray(Rwg, np.float32)
         s = float(s)
+        # The marginalization prior is expressed in the OLD world frame;
+        # drop it rather than transform (one frame of LastKeyFrame
+        # anchoring, as the reference does after UpdateFrameIMU).
+        self.frame_prior = None
         if self.last_frame is not None:
             self.last_frame.R = np.asarray(self.last_frame.R) @ Rwg
             self.last_frame.t = s * np.asarray(self.last_frame.t)
@@ -697,6 +738,8 @@ class Tracker:
             t_pred = Rv @ last.t + tv
 
         dbg = os.environ.get("DEBUG_TRACK")
+        stage1_ctx = timing.span("tracking/stage1")
+        stage1_ctx.__enter__()
         if R_pred is not None and last is not None:
             assoc, n = _track_last_frame(
                 self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
@@ -745,6 +788,7 @@ class Tracker:
                     cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc), -1)
                     ok = True
 
+        stage1_ctx.__exit__(None, None, None)
         if not ok:
             return False
 
@@ -790,18 +834,45 @@ class Tracker:
             s_now = self.store.state
             kf_j = jnp.asarray(self.last_kf_id)
             assoc_gated = jnp.asarray(cur.mp_assoc)
-            res_vi = _pose_inertial_from_assoc(
-                self.model, self.params, assoc_gated, cur.features,
-                s_now.mp_pos, s_now.mp_valid, self.sigma2_table,
-                jnp.asarray(self.imu_calib.Rbc), jnp.asarray(self.imu_calib.tbc),
-                s_now.kf_R[kf_j], s_now.kf_t[kf_j], s_now.kf_vel[kf_j],
-                s_now.kf_bias_g[kf_j], s_now.kf_bias_a[kf_j],
-                self.pre_from_kf,
-                jnp.asarray(cur.R), jnp.asarray(cur.t),
-                jnp.asarray(self.body_vel),
-                ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
-                bf=self.bf,
+            # LastFrame variant (`Optimizer.cc:8068`) when the previous
+            # frame carries a valid marginalization prior and the map is
+            # unchanged since (ref `mbMapUpdated`, Tracking.cc:2470-2490);
+            # LastKeyFrame variant (`Optimizer.cc:3752`) otherwise.
+            use_lf = (
+                self.frame_prior is not None
+                and self.pre_frame is not None
+                and last is not None
+                and self.prior_ts == last.timestamp
+                and self.prior_map_version == self.store.change_index
+                and not os.environ.get("NO_MARG_PRIOR")
             )
+            if use_lf:
+                R_a, p_a, v_a, bg_a, ba_a, H_a = self.frame_prior
+                res_vi = _pose_inertial_lf_from_assoc(
+                    self.model, self.params, assoc_gated, cur.features,
+                    s_now.mp_pos, s_now.mp_valid, self.sigma2_table,
+                    jnp.asarray(self.imu_calib.Rbc), jnp.asarray(self.imu_calib.tbc),
+                    jnp.asarray(R_a), jnp.asarray(p_a), jnp.asarray(v_a),
+                    jnp.asarray(bg_a), jnp.asarray(ba_a), jnp.asarray(H_a),
+                    self.pre_frame,
+                    jnp.asarray(cur.R), jnp.asarray(cur.t),
+                    jnp.asarray(self.body_vel),
+                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
+                    bf=self.bf,
+                )
+            else:
+                res_vi = _pose_inertial_from_assoc(
+                    self.model, self.params, assoc_gated, cur.features,
+                    s_now.mp_pos, s_now.mp_valid, self.sigma2_table,
+                    jnp.asarray(self.imu_calib.Rbc), jnp.asarray(self.imu_calib.tbc),
+                    s_now.kf_R[kf_j], s_now.kf_t[kf_j], s_now.kf_vel[kf_j],
+                    s_now.kf_bias_g[kf_j], s_now.kf_bias_a[kf_j],
+                    self.pre_from_kf,
+                    jnp.asarray(cur.R), jnp.asarray(cur.t),
+                    jnp.asarray(self.body_vel),
+                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
+                    bf=self.bf,
+                )
             n_vi = int(res_vi.n_inliers)
             if os.environ.get("DEBUG_PI"):
                 twc_vis = -cur.R.T @ cur.t
@@ -825,6 +896,18 @@ class Tracker:
                 self.body_vel = np.asarray(res_vi.v)
                 self.bias_g = np.asarray(res_vi.bg)
                 self.bias_a = np.asarray(res_vi.ba)
+                # Stash the marginalized prior for the next frame
+                # (ref: mCurrentFrame.mpcpi set at the end of both
+                # PoseInertialOptimization variants).
+                self.frame_prior = (
+                    np.asarray(res_vi.R_wb), np.asarray(res_vi.p_wb),
+                    np.asarray(res_vi.v), np.asarray(res_vi.bg),
+                    np.asarray(res_vi.ba), np.asarray(res_vi.H),
+                )
+                self.prior_map_version = self.store.change_index
+                self.prior_ts = cur.timestamp
+            else:
+                self.frame_prior = None
 
         # found/visible bookkeeping (ref `Tracking::SearchLocalPoints`
         # IncreaseVisible + `TrackLocalMap` IncreaseFound).
@@ -853,7 +936,7 @@ class Tracker:
         if kfdb is None:
             return False
         s = self.store.state
-        covis = st.covisibility(s)
+        covis = jnp.asarray(self.store.covisibility_np())
         cand_ids, _ = kfdb.query_frame(cur.features.desc, cur.features.valid, covis)
         rays = cam.unproject(self.model, self.params, cur.features.uv)[:, :2]
         for c in np.asarray(cand_ids):
@@ -895,8 +978,11 @@ class Tracker:
         pts = assoc[assoc >= 0]
         if len(pts) == 0:
             return np.asarray([self.ref_kf], np.int32)
-        kf_mp = np.asarray(s.kf_mp[: self.store.n_kf])
-        valid = np.asarray(s.kf_valid[: self.store.n_kf])
+        # NOTE: transfer the full fixed-shape arrays then slice on host —
+        # `s.kf_mp[:n_kf]` is a device slice whose shape changes with
+        # every keyframe, forcing an XLA recompile per KF count.
+        kf_mp = np.asarray(s.kf_mp)[: self.store.n_kf]
+        valid = np.asarray(s.kf_valid)[: self.store.n_kf]
         ptset = np.zeros(s.Pmax + 1, bool)
         ptset[pts] = True
         shares = ptset[np.clip(kf_mp, 0, s.Pmax)].sum(axis=1) * valid
@@ -923,6 +1009,10 @@ class Tracker:
 
     def _create_keyframe(self, cur: fr.FrameData):
         """`CreateNewKeyFrame` (`Tracking.cc:2716`)."""
+        with timing.span("tracking/create_kf"):
+            self._create_keyframe_impl(cur)
+
+    def _create_keyframe_impl(self, cur: fr.FrameData):
         slot = self.store.alloc_kf()
         s = st.add_keyframe(
             self.store.state, jnp.asarray(slot), jnp.asarray(cur.R), jnp.asarray(cur.t),

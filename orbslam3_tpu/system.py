@@ -82,19 +82,27 @@ class System:
         self.tracker.new_kf_callback = chained
 
     def enable_place_recognition(self, vocabulary, run_gba: bool = True,
-                                 min_bow_matches: int = 20, min_sim3_inliers: int = 20):
+                                 min_bow_matches: int = 20, min_sim3_inliers: int = 20,
+                                 consecutive: int = 3):
         """Attach a vocabulary: enables relocalization + loop closing
         (ref `System.cc:83-95`: vocabulary -> KeyFrameDatabase ->
-        LoopClosing thread)."""
+        LoopClosing thread). `consecutive` is the reference's
+        3-consecutive-KF temporal-consistency requirement
+        (`LoopClosing.cc:367`); pass 1 for immediate closure in tiny
+        tests."""
         from orbslam3_tpu.atlas.kfdb import KeyFrameDB
         from orbslam3_tpu.pipeline.loop_closing import LoopCloser
 
         kfdb = KeyFrameDB(vocabulary, Kmax=self.store.state.Kmax)
         self.tracker.kfdb = kfdb
+        inertial = self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
         self.loop_closer = LoopCloser(
             self.tracker.model, self.tracker.params, self.store, kfdb,
             self.tracker.sigma2_table, run_gba=run_gba,
             min_bow_matches=min_bow_matches, min_sim3_inliers=min_sim3_inliers,
+            consecutive=consecutive, inertial=inertial,
+            img_wh=self.tracker.img_wh, scale_table=self.tracker.scale_table,
+            mapper=self.mapper,
         )
         mapper_cb = self.mapper.process_keyframe
 

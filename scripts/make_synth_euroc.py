@@ -66,15 +66,18 @@ def make_textures(rng):
 FACES = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
 
 
-def render(tex, R_wc, p_wc):
-    """Ray-cast the box: grayscale (H, W) float32 image."""
-    u, v = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
-    d_cam = np.stack([(u - CX) / FX, (v - CY) / FY, np.ones_like(u)], axis=-1)
+def render(tex, R_wc, p_wc, wh=(W, H), intr=(FX, FY, CX, CY)):
+    """Ray-cast the box: grayscale (H, W) float32 image. `wh`/`intr` let
+    smaller drives (drive_loop.py) reuse the renderer at low resolution."""
+    W_, H_ = wh
+    fx, fy, cx, cy = intr
+    u, v = np.meshgrid(np.arange(W_, dtype=np.float32), np.arange(H_, dtype=np.float32))
+    d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
     d_w = d_cam @ R_wc.T  # (H, W, 3)
     o = p_wc.astype(np.float32)
 
-    best_t = np.full((H, W), np.inf, np.float32)
-    best_face = np.full((H, W), -1, np.int8)
+    best_t = np.full((H_, W_), np.inf, np.float32)
+    best_face = np.full((H_, W_), -1, np.int8)
     for f, (ax, hi) in enumerate(FACES):
         bound = (BOX_HI if hi else BOX_LO)[ax]
         denom = d_w[..., ax]
@@ -84,7 +87,7 @@ def render(tex, R_wc, p_wc):
         best_t = np.where(ok, t, best_t)
         best_face = np.where(ok, np.int8(f), best_face)
 
-    img = np.zeros((H, W), np.float32)
+    img = np.zeros((H_, W_), np.float32)
     hit_pts = o[None, None] + best_t[..., None] * d_w
     for f, (ax, hi) in enumerate(FACES):
         m = best_face == f

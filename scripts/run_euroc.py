@@ -105,6 +105,10 @@ def main():
                 bow.save_npz(args.vocab, voc)
         slam.enable_place_recognition(voc)
 
+    from orbslam3_tpu.utils import timing
+    if os.environ.get("PROFILE"):
+        timing.enable()
+
     cursor = 0
     t0 = time.perf_counter()
     track_times = []
@@ -124,6 +128,9 @@ def main():
                 f"[{k}/{n}] state={slam.tracking_state.name} kfs={slam.n_keyframes} "
                 f"mps={slam.n_map_points} med_track={np.median(track_times[-50:]) * 1e3:.1f}ms"
             )
+            if os.environ.get("PROFILE"):
+                timing.print_report()
+                timing.reset()
     wall = time.perf_counter() - t0
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
 
