@@ -1,9 +1,14 @@
-"""Benchmark: tracked frames/s per chip on the flagship tracking step.
+"""Benchmark: tracked frames/s per chip on the FULL per-frame hot path,
+plus BA ms/iter (local + global buckets).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference must track in real time on an i7 — EuRoC runs at
-20 Hz and the paper's i7 tracks 20-30 fps (BASELINE.md "real-time
-tracking constraint"); vs_baseline is measured fps / 20.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+
+Baseline provenance (see BASELINE.md "Reference-build attempt"): the
+reference cannot be built on this host (CMake requires OpenCV 3, host has
+4.6; Eigen3/Pangolin/Boost absent; package installs prohibited). Fallback
+is the ORB-SLAM3 paper's measured i7 tracking-thread times on EuRoC
+(arXiv:2007.11898 §VII): ≈21-29 ms/frame monocular → **33 fps** CPU
+baseline — not the 20 Hz real-time floor.
 """
 
 import json
@@ -16,37 +21,130 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax
+import jax.numpy as jnp
 
 from orbslam3_tpu.utils import enable_compile_cache
 
 enable_compile_cache()
 
+BASELINE_FPS = 33.0  # paper-measured i7 mono tracking (~30 ms/frame)
 
-def main():
-    from __graft_entry__ import entry
 
-    step, args = entry()
-    jitted = jax.jit(step)
-    # Warm-up / compile.
-    out = jitted(*args)
+def bench_tracking():
+    """Times the per-frame hot path EXACTLY as the Tracker dispatches it:
+    extraction, last-frame projection match, pose solve #1, local-map
+    match (16k-point map, 8k-point local window), pose solve #2 — five
+    jitted calls per frame (the production pipeline keeps extraction as
+    its own dispatch: XLA fuses the descriptor gathers into downstream
+    consumers when everything is one program, recomputing extraction per
+    consumer tile — measured 42 ms fused vs ~11 ms staged on TPU)."""
+    from __graft_entry__ import entry, staged_pipeline
+
+    _, args = entry()
+    run = staged_pipeline()
+    out = run(*args)  # compile all stages
     jax.block_until_ready(out)
 
     n_iters = 50
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = jitted(*args)
+        out = run(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    return n_iters / dt
 
-    baseline_fps = 20.0  # reference real-time requirement (EuRoC 20 Hz on i7)
+
+def _make_ba(rng, C, P, obs_per_cam):
+    from orbslam3_tpu.ops import cameras as cam
+    from orbslam3_tpu.optim import ba as ba_mod
+
+    params = cam.make_pinhole(458.654, 457.296, 376.0, 240.0)
+    pts = np.stack(
+        [rng.uniform(-4, 4, P), rng.uniform(-3, 3, P), rng.uniform(4, 12, P)], -1
+    ).astype(np.float32)
+    cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_t = np.zeros((C, 3), np.float32)
+    cam_t[:, 0] = np.linspace(0, 1.5, C)
+    obs_cam = np.repeat(np.arange(C, dtype=np.int32), obs_per_cam)
+    obs_pt = np.concatenate(
+        [rng.choice(P, obs_per_cam, replace=False) for _ in range(C)]
+    ).astype(np.int32)
+    Xc = pts[obs_pt] + cam_t[obs_cam]
+    uv = np.asarray(cam.pinhole_project(params, jnp.asarray(Xc)))
+    uv = uv + rng.normal(0, 0.5, uv.shape).astype(np.float32)
+    O = len(obs_cam)
+    prob = ba_mod.BAProblem(
+        cam_R=jnp.asarray(cam_R),
+        cam_t=jnp.asarray(cam_t + rng.normal(0, 0.01, cam_t.shape).astype(np.float32)),
+        cam_fixed=jnp.asarray(np.arange(C) < 2),
+        points=jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)),
+        point_valid=jnp.ones(P, bool),
+        obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv.astype(np.float32)),
+        obs_ur=jnp.full(O, -1.0), obs_sigma2=jnp.ones(O),
+        obs_valid=jnp.ones(O, bool),
+    )
+    return params, prob
+
+
+def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50):
+    """ms per LM iteration, setup excluded: time iters and 2*iters solves
+    and take the marginal cost."""
+    from orbslam3_tpu.ops import cameras as cam
+    from orbslam3_tpu.optim import ba as ba_mod
+
+    rng = np.random.default_rng(0)
+    params, prob = _make_ba(rng, C, P, obs_per_cam)
+
+    def run(n):
+        res = ba_mod.solve_ba_jit(
+            cam.CameraModel.PINHOLE, params, prob, iters=n, pcg_iters=pcg_iters
+        )
+        jax.block_until_ready(res.cam_R)
+
+    run(iters)       # compile n=iters
+    run(2 * iters)   # compile n=2*iters
+    reps = 3
+    t1 = min(
+        (lambda s: (run(iters), time.perf_counter() - s)[1])(time.perf_counter())
+        for _ in range(reps)
+    )
+    t2 = min(
+        (lambda s: (run(2 * iters), time.perf_counter() - s)[1])(time.perf_counter())
+        for _ in range(reps)
+    )
+    return max(t2 - t1, 1e-9) / iters * 1e3
+
+
+def main():
+    fps = bench_tracking()
+
+    # Local-BA bucket ~ the reference's LocalInertialBA window (10-25 KFs,
+    # `Optimizer.cc:4758`); global bucket ~ a small-map GBA.
+    ba_local_ms = bench_ba(C=16, P=4096, obs_per_cam=512, iters=5)
+    ba_global_ms = bench_ba(C=128, P=16384, obs_per_cam=512, iters=5)
+
+    # Amortized whole-pipeline estimate: per-KF mapping (triangulation +
+    # LBA) lands every ~10 frames in EuRoC replays; fold the local-BA
+    # cost (5 LM iters, dominant mapping cost) into the per-frame budget.
+    frame_ms = 1e3 / fps
+    amortized_ms = frame_ms + (ba_local_ms * 5) / 10.0
+    fps_amortized = 1e3 / amortized_ms
+
     print(
         json.dumps(
             {
                 "metric": "tracked_frames_per_s_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "extras": {
+                    "baseline_fps": BASELINE_FPS,
+                    "baseline_provenance": "ORB-SLAM3 paper i7 mono EuRoC ~30ms/frame; reference unbuildable here (BASELINE.md)",
+                    "fps_amortized_with_mapping": round(fps_amortized, 2),
+                    "ba_local_ms_per_iter_16kf_4kpt": round(ba_local_ms, 2),
+                    "ba_global_ms_per_iter_128kf_16kpt": round(ba_global_ms, 2),
+                },
             }
         )
     )

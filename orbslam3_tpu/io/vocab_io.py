@@ -66,35 +66,7 @@ def load_binary_vocabulary(path: str) -> Vocabulary:
     out = _read_binary_native(path)
     if out is None:
         out = _read_binary_numpy(path)
-    k, L, parent, desc, weight, is_leaf = out
-    n = len(parent)
-    n_nodes = n + 1  # + root
-
-    # Node ids in file order start at 1 (0 = root).
-    children = np.full((n_nodes, k), -1, np.int32)
-    child_count = np.zeros(n_nodes, np.int32)
-    for i in range(n):
-        p = parent[i]
-        c = child_count[p]
-        if c < k:
-            children[p, c] = i + 1
-            child_count[p] = c + 1
-
-    node_desc = np.zeros((n_nodes, 32), np.uint8)
-    node_desc[1:] = desc
-    node_word = np.full(n_nodes, -1, np.int32)
-    word_ids = np.flatnonzero(is_leaf)
-    node_word[word_ids + 1] = np.arange(len(word_ids), dtype=np.int32)
-    word_weight = weight[word_ids].astype(np.float32)
-
-    return Vocabulary(
-        node_desc=jnp.asarray(node_desc),
-        node_children=jnp.asarray(children),
-        node_word=jnp.asarray(node_word),
-        word_weight=jnp.asarray(word_weight),
-        depth=int(L),
-        k=int(k),
-    )
+    return _assemble_vocabulary(*out)
 
 
 def load_text_vocabulary(path: str) -> Vocabulary:
@@ -117,16 +89,25 @@ def load_text_vocabulary(path: str) -> Vocabulary:
 
 
 def _assemble_vocabulary(k, L, parent, desc, weight, is_leaf) -> Vocabulary:
+    """Flatten a parent-array tree into the batched-descent tables of
+    `ops.bow.Vocabulary`. Node ids in file order start at 1 (0 = root).
+    Children are assigned in file order per parent, vectorized (a Python
+    loop costs ~2 s on the stock 1M-node ORBvoc)."""
     n = len(parent)
     n_nodes = n + 1
     children = np.full((n_nodes, k), -1, np.int32)
-    child_count = np.zeros(n_nodes, np.int32)
-    for i in range(n):
-        p = parent[i]
-        c = child_count[p]
-        if c < k:
-            children[p, c] = i + 1
-            child_count[p] = c + 1
+    # Stable sort by parent keeps file order within each parent group;
+    # rank-within-group = position - first-position-of-group.
+    order = np.argsort(parent, kind="stable").astype(np.int64)
+    ps = parent[order]
+    first = np.zeros(n, np.int64)
+    if n:
+        new_grp = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        first[new_grp] = new_grp
+        first = np.maximum.accumulate(first)
+    rank = np.arange(n, dtype=np.int64) - first
+    ok = rank < k
+    children[ps[ok], rank[ok]] = (order[ok] + 1).astype(np.int32)
     node_desc = np.zeros((n_nodes, 32), np.uint8)
     node_desc[1:] = desc
     node_word = np.full(n_nodes, -1, np.int32)

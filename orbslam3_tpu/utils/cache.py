@@ -20,11 +20,23 @@ def _host_key() -> str:
     session start a fresh cache instead of reloading foreign code.
     """
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                # flags alone are NOT enough: LLVM derives target features
+                # (e.g. prefer-no-scatter) from the cpuid family/model that
+                # two sandbox hosts can differ on while exposing identical
+                # flag lists — observed as AOT-load feature-mismatch spam
+                # after a host migration. Include the full identity tuple.
+                if key in ("vendor_id", "cpu family", "model", "stepping", "model name"):
+                    parts.append(line.strip())
+                if key == "flags":
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                if key == "power management":  # end of first CPU block
+                    break
+        if parts:
+            return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
