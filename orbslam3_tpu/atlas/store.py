@@ -149,9 +149,18 @@ def bump_found_visible(
     the frustum test this frame; `assoc` (Nf,) — map-point id per feature
     after pose-optimization inlier gating (-1 = unmatched). The
     found/visible ratio feeds `MapPointCulling`."""
+    vis, fnd = bump_found_visible_arrays(state, visible, assoc)[::-1]
+    return state._replace(mp_visible=vis, mp_found=fnd)
+
+
+def bump_found_visible_arrays(
+    state: MapState, visible: jnp.ndarray, assoc: jnp.ndarray
+):
+    """(mp_found, mp_visible) arrays of `bump_found_visible`, for callers
+    that fold the update into a larger jitted program."""
     vis = state.mp_visible + visible.astype(jnp.int32)
     fnd = state.mp_found.at[jnp.clip(assoc, 0)].add((assoc >= 0).astype(jnp.int32))
-    return state._replace(mp_visible=vis, mp_found=fnd)
+    return fnd, vis
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +307,42 @@ def replace_points(
 MAXOBS = 16  # observer cap for descriptor/normal refresh
 
 
+@jax.jit
+def observer_table(state: MapState):
+    """Device-built inverse observation index: (P, MAXOBS) observing-KF
+    ids and feature indices per map point (`MapPoint::mObservations`,
+    ref `MapPoint.h:141`), capped at MAXOBS in keyframe order.
+
+    Sort-based: flatten kf_mp, stable-argsort by point id, rank within
+    each point's run via searchsorted, scatter the first MAXOBS
+    (kf, feat) pairs per point. ~3 ms on TPU for 512x1216 — replaces a
+    host gather that needed the full kf_mp + kf_feat_valid mirrors
+    (hundreds of ms of D2H per refresh over the sandbox tunnel)."""
+    K, Nf = state.kf_mp.shape
+    P = state.Pmax
+    ok = (state.kf_mp >= 0) & state.kf_feat_valid & state.kf_valid[:, None]
+    flat_p = jnp.where(ok, state.kf_mp, P).reshape(-1)
+    order = jnp.argsort(flat_p, stable=True)
+    sp = flat_p[order]
+    first = jnp.searchsorted(sp, jnp.arange(P + 1))
+    idx = jnp.arange(sp.shape[0])
+    rank = idx - first[jnp.clip(sp, 0, P)]
+    valid = (sp < P) & (rank < MAXOBS)
+    row = jnp.where(valid, sp, P)  # invalids land on a dummy row
+    col = jnp.clip(rank, 0, MAXOBS - 1)
+    kk = (order // Nf).astype(jnp.int32)
+    ff = (order % Nf).astype(jnp.int32)
+    tab_kf = (
+        jnp.full((P + 1, MAXOBS), -1, jnp.int32)
+        .at[row, col].set(jnp.where(valid, kk, -1))
+    )
+    tab_ff = (
+        jnp.zeros((P + 1, MAXOBS), jnp.int32)
+        .at[row, col].set(jnp.where(valid, ff, 0))
+    )
+    return tab_kf[:P], tab_ff[:P]
+
+
 def gather_observers(store: "MapStore", cand_ids: np.ndarray):
     """Host-side inverted-index build: for each candidate point, up to
     MAXOBS observing (keyframe, feature) pairs. The SoA stores the
@@ -306,7 +351,7 @@ def gather_observers(store: "MapStore", cand_ids: np.ndarray):
     candidate batches at KF rate, so a host gather beats persisting a
     second index on device."""
     s = store.state
-    kf_mp = np.asarray(s.kf_mp)
+    kf_mp = store.kf_mp_np()
     okobs = (
         (kf_mp >= 0)
         & np.asarray(s.kf_feat_valid)
@@ -401,15 +446,19 @@ def refresh_points(store: "MapStore", cand_ids: np.ndarray, scale_table, cap: in
     cand_ids = cand_ids[(cand_ids >= 0) & (cand_ids < dump)]
     if len(cand_ids) == 0:
         return
+    tab_kf, tab_ff = observer_table(store.state)  # device, no D2H
     for start in range(0, len(cand_ids), cap):
         chunk = cand_ids[start : start + cap]
         pad = cap - len(chunk)
         ids = np.concatenate([chunk, np.full(pad, dump, np.int64)]).astype(np.int32)
-        obs_kf, obs_feat = gather_observers(store, ids)
-        obs_kf[len(chunk):] = -1
+        ids_j = jnp.asarray(ids)
+        lane_ok = jnp.asarray(
+            np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)])
+        )
         store.state = _refresh_kernel(
-            store.state, jnp.asarray(ids), jnp.asarray(obs_kf),
-            jnp.asarray(obs_feat), jnp.asarray(scale_table, jnp.float32),
+            store.state, ids_j,
+            jnp.where(lane_ok[:, None], tab_kf[ids_j], -1),
+            tab_ff[ids_j], jnp.asarray(scale_table, jnp.float32),
         )
 
 
@@ -478,20 +527,37 @@ class MapStore:
         windows, fuse, culling, loop query); one cache per map version
         removes all but the first (ref keeps mConnectedKeyFrameWeights
         incrementally per KF, `KeyFrame::UpdateConnections`)."""
+        from orbslam3_tpu.utils.fetch import fetch
+
         ver, W = self._covis_cache
         if ver != self.change_index or W is None:
-            W = np.asarray(covisibility(self.state))
+            W = fetch(covisibility(self.state))
             self._covis_cache = (self.change_index, W)
         return W
 
     def point_observers_np(self) -> np.ndarray:
         """Host copy of per-point observer counts, cached per
         change_index (same rationale as `covisibility_np`)."""
+        from orbslam3_tpu.utils.fetch import fetch
+
         ver, n = getattr(self, "_obs_cache", (-1, None))
         if ver != self.change_index or n is None:
-            n = np.asarray(point_observers(self.state))
+            n = fetch(point_observers(self.state))
             self._obs_cache = (self.change_index, n)
         return n
+
+    def kf_mp_np(self) -> np.ndarray:
+        """Host mirror of the (K,Nf) feature->map-point table, cached per
+        change_index and fetched with chunked concurrent copies (2.5 MB
+        at Kmax=512; a fresh single-stream pull costs ~380 ms over the
+        sandbox tunnel, the chunked one ~90 ms, a cache hit 0)."""
+        from orbslam3_tpu.utils.fetch import fetch
+
+        ver, M = getattr(self, "_kfmp_cache", (-1, None))
+        if ver != self.change_index or M is None:
+            M = fetch(self.state.kf_mp)
+            self._kfmp_cache = (self.change_index, M)
+        return M
 
     # -- allocation -----------------------------------------------------
     def alloc_kf(self) -> int:

@@ -34,6 +34,7 @@ from orbslam3_tpu.ops import lie, matching
 from orbslam3_tpu.optim import ba as ba_mod
 from orbslam3_tpu.optim import lm
 from orbslam3_tpu.utils import timing
+from orbslam3_tpu.utils.fetch import fetch
 
 WINDOW = 16  # optimizable window cap (ref: all covisibles of current KF)
 FIXED = 16  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
@@ -405,6 +406,7 @@ def resolve_and_replace(store, conflicts_src, conflicts_dst, anchor_kf: int):
     freed = [int(x) for x in src]
     if not _os.environ.get("NO_FREE"):
         store.free_mp_slots.extend(freed)
+    store.bump()  # invalidate change_index-keyed host mirrors
     return freed
 
 
@@ -427,6 +429,7 @@ class LocalMapper:
         self.imu_calib = imu_calib
         self.preints: dict[int, object] = {}
         self.imu_init = None
+        self.bad_imu = False  # watchdog flag (ref mbBadImu, LocalMapping.cc:192)
         self.tracker = None  # backref set by System (imu_ready flag sync)
         if imu_calib is not None:
             from orbslam3_tpu.pipeline.inertial_support import ImuInitializer
@@ -445,6 +448,12 @@ class LocalMapper:
             # (`GlobalBundleAdjustemnt(20)`, Tracking.cc:1948).
             self._global_ba_small(kf_id)
             return
+        # Covisibility snapshot for this keyframe's whole mapping pass
+        # (the reference computes UpdateConnections once per KF in
+        # ProcessNewKeyFrame, `LocalMapping.cc:357`, and the later stages
+        # read the cached weights; recomputing+refetching after every
+        # stage's bump cost ~0.5 s/KF over the tunnel).
+        self._covis_pin = (kf_id, self.store.covisibility_np())
         with timing.span("mapping/cull_points"):
             self._cull_points(kf_id)
         with timing.span("mapping/triangulate"):
@@ -460,6 +469,8 @@ class LocalMapper:
             self._cull_keyframes(kf_id)
         if self.imu_init is not None and not self.imu_init.initialized:
             self._try_imu_init(kf_id)
+            if not self.imu_init.initialized:
+                self._imu_watchdog(kf_id)
         elif self.imu_init is not None and kf_id % 10 == 0:
             # Periodic scale/gravity refinement (`ScaleRefinement`,
             # `LocalMapping.cc:261-273`).
@@ -479,7 +490,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _covisible(self, kf_id: int, n: int) -> np.ndarray:
-        W = self.store.covisibility_np()
+        pin = getattr(self, "_covis_pin", None)
+        W = pin[1] if pin and pin[0] == kf_id else self.store.covisibility_np()
         weights = W[kf_id][: self.store.n_kf]
         order = np.argsort(-weights)
         top = order[weights[order] >= 15][:n]  # ref th=15 (KeyFrame.cc:469)
@@ -523,9 +535,13 @@ class LocalMapper:
             s.kf_desc[nb_j], free_nbs,
             self.sigma2_table, self.scale_table, self.focal,
         )
-        good_b = np.asarray(good_b)
-        Xw_b = np.asarray(Xw_b)
-        idx2_b = np.asarray(idx2_b)
+        # One concurrent round-trip for the whole triangulation result +
+        # the current-KF rows used below (fresh D2H buffers are latency-
+        # bound over the sandbox tunnel; see utils/fetch.py).
+        good_b, Xw_b, idx2_b, desc_row, R_row, t_row, oct_row = fetch(
+            good_b, Xw_b, idx2_b,
+            s.kf_desc[kf_j], s.kf_R[kf_j], s.kf_t[kf_j], s.kf_octave[kf_j],
+        )
 
         # Claim resolution in covisibility order: each current-KF feature
         # triangulates with its best-connected neighbor only (the
@@ -558,14 +574,14 @@ class LocalMapper:
         valid_p = np.concatenate([np.ones(total, bool), np.zeros(pad, bool)])
         sel_p = np.concatenate([sel_all, np.zeros(pad, np.int64)])
         Xw_np = Xw_b[np.concatenate([b_all, np.zeros(pad, np.int64)]), sel_p]
-        desc = np.asarray(s.kf_desc[kf_j])[sel_p]
+        desc = desc_row[sel_p]
         # Normal & scale band from the current KF.
-        Rwc = np.asarray(s.kf_R[kf_j]).T
-        Ow = -Rwc @ np.asarray(s.kf_t[kf_j])
+        Rwc = R_row.T
+        Ow = -Rwc @ t_row
         vec = Xw_np - Ow
         dist = np.linalg.norm(vec, axis=-1)
         normal = vec / np.maximum(dist[:, None], 1e-9)
-        octs = np.asarray(s.kf_octave[kf_j])[sel_p]
+        octs = oct_row[sel_p]
         sf = np.asarray(self.scale_table)
         max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
         min_d = max_d / sf[-1]
@@ -577,9 +593,10 @@ class LocalMapper:
         )
 
         # Associations: current-KF row + all neighbor rows in one scatter.
-        row1 = np.asarray(new_state.kf_mp[kf_j]).copy()
+        row1, base = fetch(new_state.kf_mp[kf_j], new_state.kf_mp[nb_j])
+        row1 = row1.copy()
         row1[sel_all] = slots
-        base = np.asarray(new_state.kf_mp[nb_j]).copy()  # (B, Nf)
+        base = base.copy()  # (B, Nf)
         final = {}
         off = 0
         for b, sel in picks:
@@ -621,7 +638,8 @@ class LocalMapper:
         s = self.store.state
         neighbors = self._covisible(kf_id, 10)
         # 2-hop expansion: 5 best covisibles of each neighbor (ref :930).
-        Wmat = self.store.covisibility_np()
+        pin = getattr(self, "_covis_pin", None)
+        Wmat = pin[1] if pin and pin[0] == kf_id else self.store.covisibility_np()
         nkf = self.store.n_kf
         hood = set(int(n) for n in neighbors)
         for nb in list(hood):
@@ -645,7 +663,7 @@ class LocalMapper:
         # neighbor's fuse touches only its own row, so the batched form
         # is exact; padding lanes duplicate lane 0 and produce identical
         # rows, and their conflicts are dropped below).
-        cand = np.asarray(s.kf_mp[jnp.asarray(kf_id)])
+        cand = self.store.kf_mp_np()[kf_id]
         cand_ids = jnp.asarray(np.where(cand >= 0, cand, 0))
         cand_valid = jnp.asarray(cand >= 0)
         if len(neighbors):
@@ -660,8 +678,7 @@ class LocalMapper:
             self.store.state = self.store.state._replace(
                 kf_mp=self.store.state.kf_mp.at[jnp.asarray(nb_p)].set(rows_b)
             )
-            inc_b = np.asarray(inc_b)
-            conf_b = np.asarray(conf_b)
+            inc_b, conf_b = fetch(inc_b, conf_b)
             cand_pos = np.where(cand >= 0, cand, 0)
             for b in range(min(len(neighbors), B)):
                 _collect(cand_pos, inc_b[b], conf_b[b])
@@ -671,11 +688,12 @@ class LocalMapper:
         if _os.environ.get("NO_FUSE2"):
             hood = set()
         if hood:
-            kf_mp_np = np.asarray(self.store.state.kf_mp)
+            kf_mp_np = self.store.kf_mp_np()
             pool = np.unique(kf_mp_np[sorted(hood)].reshape(-1))
             pool = pool[pool >= 0]
             CAP = 4096
             kf_j = jnp.asarray(kf_id)
+            pending = []  # device results; fetched in one round below
             for start in range(0, len(pool), CAP):
                 chunk = pool[start : start + CAP]
                 pad = CAP - len(chunk)
@@ -689,7 +707,11 @@ class LocalMapper:
                 self.store.state = self.store.state._replace(
                     kf_mp=self.store.state.kf_mp.at[kf_j].set(new_row)
                 )
-                _collect(ids.astype(np.int64), inc, conf)
+                pending.append((ids.astype(np.int64), inc, conf))
+            if pending:
+                fetched = fetch([(p[1], p[2]) for p in pending])
+                for (ids64, _, _), (inc_np, conf_np) in zip(pending, fetched):
+                    _collect(ids64, inc_np, conf_np)
 
         # Resolve conflicts: keep the most-observed point.
         if _os.environ.get("NO_REPLACE"):
@@ -708,8 +730,12 @@ class LocalMapper:
                 ndup += len(r_) - len(np.unique(r_))
             print(f"  [fuse] kf={kf_id} row_dups={ndup}", flush=True)
         # Refresh descriptors/normals of every point now tied to this KF.
+        # bump() first: the fuse row writes above mutated kf_mp without a
+        # version bump, and refresh_points reads via the change_index-keyed
+        # host mirrors (stale otherwise).
+        self.store.bump()
         if not _os.environ.get("NO_REFRESH"):
-            row = np.asarray(self.store.state.kf_mp[jnp.asarray(kf_id)])
+            row = self.store.kf_mp_np()[kf_id]
             st.refresh_points(self.store, row[row >= 0], self.scale_table)
 
     def _local_ba(self, kf_id: int):
@@ -717,7 +743,8 @@ class LocalMapper:
         cov = self._covisible(kf_id, WINDOW - 1)
         window = np.concatenate([[kf_id], cov]).astype(np.int32)[:WINDOW]
         # Fixed frontier: KFs sharing points with the window, not in it.
-        Wmat = self.store.covisibility_np()
+        pin = getattr(self, "_covis_pin", None)
+        Wmat = pin[1] if pin and pin[0] == kf_id else self.store.covisibility_np()
         nkf = self.store.n_kf
         shares = Wmat[window][:, :nkf].sum(0)
         cand = np.argsort(-shares)
@@ -766,7 +793,7 @@ class LocalMapper:
         if not candidates:
             return
         observers = self.store.point_observers_np()
-        kf_mp = np.asarray(s.kf_mp)
+        kf_mp = self.store.kf_mp_np()
         valid = np.asarray(s.kf_valid)
         for c in candidates:
             c = int(c)
@@ -822,9 +849,7 @@ class LocalMapper:
             return
         s = self.store.state
         observers = self.store.point_observers_np()
-        found = np.asarray(s.mp_found)
-        visible = np.asarray(s.mp_visible)
-        mp_valid = np.asarray(s.mp_valid)
+        found, visible, mp_valid = fetch(s.mp_found, s.mp_visible, s.mp_valid)
         ratio = found / np.maximum(visible, 1)
         keep = []
         erase_slots = []
@@ -862,6 +887,30 @@ class LocalMapper:
     # ------------------------------------------------------------------
     # Inertial staging
     # ------------------------------------------------------------------
+    def _imu_watchdog(self, kf_id: int):
+        """Bad-IMU watchdog (`LocalMapping.cc:183-192`): in an inertial run
+        whose map is still visual-only, near-zero camera motion across the
+        last three keyframes means the accelerometer is unexcited and IMU
+        init can never succeed — the reference flags `mbBadImu` and the
+        tracking side resets the active map to try again."""
+        valid = np.asarray(self.store.state.kf_valid)
+        ids = np.flatnonzero(valid[: self.store.n_kf])
+        if len(ids) < 3:
+            return
+        ts = self.store.kf_ts
+        order = ids[np.argsort(ts[ids])]
+        if ts[order[-1]] - ts[order[0]] >= 10.0:
+            return  # ref: watchdog only while mTinit < 10 s
+        last3 = jnp.asarray(order[-3:].astype(np.int32))
+        R3, t3 = fetch(self.store.state.kf_R[last3], self.store.state.kf_t[last3])
+        centers = np.einsum("kji,kj->ki", R3, -t3)  # Ow = -R^T t
+        dist = float(
+            np.linalg.norm(centers[1] - centers[0])
+            + np.linalg.norm(centers[2] - centers[1])
+        )
+        if dist < 0.02:
+            self.bad_imu = True
+
     def _try_imu_init(self, kf_id: int):
         """`LocalMapping::InitializeIMU` (`LocalMapping.cc:1448`)."""
         from orbslam3_tpu.pipeline import inertial_support as isup

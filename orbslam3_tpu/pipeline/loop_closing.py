@@ -318,7 +318,7 @@ class LoopCloser:
 
         cur_win = window(kf_id, 10)
         loop_win = window(loop_kf, 10)
-        kf_mp = np.asarray(s.kf_mp)
+        kf_mp = store.kf_mp_np()
         pool = np.unique(kf_mp[loop_win].reshape(-1))
         pool = pool[pool >= 0]
         if not len(pool):

@@ -39,6 +39,7 @@ from orbslam3_tpu.ops import lie, matching, ransac
 from orbslam3_tpu.optim import pose_only
 from orbslam3_tpu.pipeline import frame as fr
 from orbslam3_tpu.utils import timing
+from orbslam3_tpu.utils.fetch import fetch
 
 
 class TrackState(enum.Enum):
@@ -239,6 +240,111 @@ def _pose_inertial_from_assoc(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model", "n_levels"))
+def _track_step(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    state: st.MapState,
+    f_cur: feat.Features,
+    R_pred, t_pred, have_pred,          # stage 1a inputs (bool device)
+    last_mp, last_octave,               # last frame's associations
+    ref_kf,                             # stage 1b anchor (int device)
+    R_last, t_last,                     # fallback initial pose
+    scale_table, sigma2_table, img_wh,
+    ur=None, bf=0.0, n_levels: int = 8,
+):
+    """The whole two-stage visual tracking of one frame as ONE device
+    program (`Tracking::Track` stages `Tracking.cc:2331,2171,2436`):
+    motion-model match + pose solve, reference-KF fallback, device-side
+    local-keyframe selection (`UpdateLocalKeyFrames` `:3042`), local-map
+    match + final pose solve, found/visible bookkeeping.
+
+    Host round-trips are the latency wall (per fresh-buffer D2H is ~µs on
+    a real TPU host but ~40-150 ms over this sandbox tunnel — and even on
+    real hardware every sync stalls the pipeline), so all accept/reject
+    gates are computed here and returned in one small bundle; the host
+    makes its state-machine decision after a single fetch.
+    """
+    ur_arr = ur if ur is not None else jnp.full(f_cur.uv.shape[0], -1.0)
+
+    # --- Stage 1a: motion model -----------------------------------------
+    assoc_a, n_a = _track_last_frame(
+        model, params, R_pred, t_pred, None, last_mp,
+        state.mp_pos, state.mp_valid, state.mp_desc, f_cur,
+        15.0, scale_table, last_octave,
+    )
+    res_a = _pose_opt_from_assoc(
+        model, params, R_pred, t_pred, assoc_a, f_cur,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+    )
+    ok_a = have_pred & (n_a >= 20) & (res_a.n_inliers >= 10)
+
+    # --- Stage 1b: reference keyframe fallback --------------------------
+    rk = jnp.clip(ref_kf, 0)
+    assoc_b, n_b = _track_reference_kf(
+        state.kf_desc[rk], state.kf_feat_valid[rk],
+        state.kf_mp[rk], state.mp_valid, f_cur,
+    )
+    res_b = _pose_opt_from_assoc(
+        model, params, R_last, t_last, assoc_b, f_cur,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+    )
+    ok_b = (ref_kf >= 0) & (n_b >= 15) & (res_b.n_inliers >= 10)
+
+    use_a = ok_a
+    R1 = jnp.where(use_a, res_a.R, res_b.R)
+    t1 = jnp.where(use_a, res_a.t, res_b.t)
+    assoc1 = jnp.where(
+        use_a,
+        jnp.where(res_a.inlier, assoc_a, -1),
+        jnp.where(res_b.inlier, assoc_b, -1),
+    )
+    ok1 = ok_a | ok_b
+
+    # --- Local keyframe selection (device top-k) ------------------------
+    ptset = jnp.zeros((state.Pmax,), bool).at[jnp.clip(assoc1, 0)].set(assoc1 >= 0)
+    shares = (
+        jnp.sum(ptset[jnp.clip(state.kf_mp, 0)] & (state.kf_mp >= 0), axis=1)
+        * state.kf_valid
+    )
+    top_shares, top_kfs = jax.lax.top_k(shares, 16)
+    top_kfs = jnp.where(top_shares > 0, top_kfs, -1).astype(jnp.int32)
+    local_pad = jnp.where(
+        jnp.any(top_kfs >= 0), top_kfs,
+        jnp.full_like(top_kfs, -1).at[0].set(jnp.clip(ref_kf, 0)),
+    )
+
+    # --- Stage 2: local map ---------------------------------------------
+    local_mask = _local_point_mask(state, local_pad)
+    assoc2, visible = _track_local_map_match(
+        model, params, R1, t1, state, local_mask, f_cur, assoc1, img_wh,
+        n_levels=n_levels,
+    )
+    res2 = _pose_opt_from_assoc(
+        model, params, R1, t1, assoc2, f_cur,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+    )
+    assoc_final = jnp.where(res2.inlier, assoc2, -1)
+
+    # --- found/visible stats (stay on device) ---------------------------
+    mp_found, mp_visible = st.bump_found_visible_arrays(
+        state, visible, assoc_final
+    )
+
+    # Reference-KF tracked count for NeedNewKeyFrame (`Tracking.cc:2577`).
+    new_ref = jnp.where(local_pad[0] >= 0, local_pad[0], jnp.clip(ref_kf, 0))
+    ref_matches = jnp.sum(
+        (state.kf_mp[new_ref] >= 0) & state.kf_feat_valid[new_ref]
+    )
+
+    bundle = dict(
+        ok1=ok1, used_a=use_a, n_a=n_a, n_b=n_b,
+        R=res2.R, t=res2.t, assoc=assoc_final,
+        n_inl=res2.n_inliers, top_kfs=top_kfs, ref_matches=ref_matches,
+    )
+    return bundle, (mp_found, mp_visible)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _pose_inertial_lf_from_assoc(
     model, params, assoc, f_cur: feat.Features, mp_pos, mp_valid,
@@ -311,6 +417,15 @@ class Tracker:
         self.prior_map_version: int = -1
         self.prior_ts: float = -1.0  # timestamp of the frame the prior belongs to
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (R, t) of Tcl
+        self._ref_matches_cache: Optional[int] = None  # from _track_step bundle
+        # Localization-only mode (ref `System::ActivateLocalizationMode`,
+        # `System.h:106-108` -> `Tracking::InformOnlyTracking`): track
+        # against the frozen map, never insert keyframes.
+        self.only_tracking = False
+        # Timestamp-anomaly hook set by System (ref `Tracking::Track`
+        # `Tracking.cc:987-1031`): called with "reorder" | "gap_uninit" |
+        # "gap_init" BEFORE the frame is tracked.
+        self.anomaly_cb = None
         self.frames_since_kf = 0
         self.frame_id = 0
         self.lost_count = 0
@@ -336,6 +451,45 @@ class Tracker:
     def grab_imu(self, t: float, acc, gyro):
         """`Tracking::GrabImuData`."""
         self.imu_queue.push(t, acc, gyro)
+
+    def reset_map_state(self, full: bool = False):
+        """Clear every per-map tracker field (ref `Tracking::ResetActiveMap`
+        `Tracking.cc:3521`; `full` adds the cross-map state that
+        `Tracking::Reset` `:3456` also clears). Call BEFORE swapping in the
+        fresh MapStore — the trajectory filter drops entries rooted in the
+        store that is being discarded (still `self.store` here)."""
+        self.state = TrackState.NO_IMAGES_YET if full else TrackState.NOT_INITIALIZED
+        self.last_frame = None
+        self.init_frame = None
+        self.ref_kf = -1
+        self.last_kf_id = -1
+        self.velocity = None
+        self.frame_prior = None
+        self.prior_map_version = -1
+        self._ref_matches_cache = None
+        self.frames_since_kf = 0
+        self.lost_count = 0
+        self.match_inliers = 0
+        self.imu_ready = False
+        self.pre_from_kf = None
+        self.pre_frame = None
+        self.body_vel = np.zeros(3, np.float32)
+        self.bias_g = np.zeros(3, np.float32)
+        self.bias_a = np.zeros(3, np.float32)
+        if full:
+            self.trajectory = []
+            self.frame_id = 0
+            if self.imu_calib is not None:
+                from orbslam3_tpu.pipeline import inertial_support as isup
+
+                self.imu_queue = isup.ImuQueue()
+        else:
+            # Drop trajectory entries rooted in the reset map; entries of
+            # stored Atlas maps survive (ref `Tracking::ResetActiveMap`
+            # erases only the frames of `pMap`, `Tracking.cc:3560-3582`).
+            self.trajectory = [
+                e for e in self.trajectory if e[1] is not self.store
+            ]
 
     # -- helpers --------------------------------------------------------
     def _extract(self, img: np.ndarray) -> feat.Features:
@@ -496,6 +650,15 @@ class Tracker:
         ur: Optional[np.ndarray] = None,
         depth: Optional[np.ndarray] = None,
     ) -> fr.FrameData:
+        # Timestamp anomalies (ref `Tracking::Track` `Tracking.cc:987-1031`):
+        # a reordered frame resets the active map; a >1 s gap in inertial
+        # mode starts a fresh map (IMU initialized) or resets (not yet).
+        if self.anomaly_cb is not None and self.last_frame is not None:
+            dt = timestamp - self.last_frame.timestamp
+            if dt < 0:
+                self.anomaly_cb("reorder")
+            elif dt > 1.0 and self.imu_calib is not None:
+                self.anomaly_cb("gap_init" if self.imu_ready else "gap_uninit")
         cur = fr.FrameData(
             features=f,
             timestamp=timestamp,
@@ -738,87 +901,56 @@ class Tracker:
             t_pred = Rv @ last.t + tv
 
         dbg = os.environ.get("DEBUG_TRACK")
-        stage1_ctx = timing.span("tracking/stage1")
-        stage1_ctx.__enter__()
-        if R_pred is not None and last is not None:
-            assoc, n = _track_last_frame(
-                self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
-                last.features.uv, jnp.asarray(last.mp_assoc),
-                s.mp_pos, s.mp_valid, s.mp_desc, cur.features,
-                15.0, self.scale_table, last.features.octave,
+        with timing.span("tracking/step"):
+            have_pred = R_pred is not None and last is not None
+            if not have_pred:
+                R_pred = np.eye(3, dtype=np.float32)
+                t_pred = np.zeros(3, np.float32)
+            if have_pose:
+                R_last, t_last = cur.R, cur.t  # relocalized pose
+            elif last is not None:
+                R_last, t_last = last.R, last.t
+            else:
+                R_last, t_last = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            Nf = cur.features.uv.shape[0]
+            last_mp = last.mp_assoc if last is not None else np.full(Nf, -1, np.int32)
+            last_oct = (
+                last.features.octave if last is not None
+                else jnp.zeros(Nf, jnp.int32)
             )
-            if int(n) >= 20:
-                res = _pose_opt_from_assoc(
-                    self.model, self.params, jnp.asarray(R_pred), jnp.asarray(t_pred),
-                    assoc, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
-                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
-                )
-                if int(res.n_inliers) >= 10:
-                    cur.R = np.asarray(res.R)
-                    cur.t = np.asarray(res.t)
-                    cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc), -1)
-                    ok = True
-                if dbg:
-                    twc_pred = -np.asarray(R_pred).T @ np.asarray(t_pred)
-                    twc_opt = -np.asarray(res.R).T @ np.asarray(res.t)
-                    print(f"  [trk] stage1a n_match={int(n)} n_inl={int(res.n_inliers)} "
-                          f"imu_pred={self.imu_ready and self.pre_frame is not None} "
-                          f"twc_pred={twc_pred.round(3)} twc_opt={twc_opt.round(3)}", flush=True)
-            elif dbg:
-                print(f"  [trk] stage1a n_match={int(n)} (<20)", flush=True)
-
-        # Stage 1b: reference keyframe fallback.
-        if not ok and self.ref_kf >= 0:
-            rk = jnp.asarray(self.ref_kf)  # traced index: one cached gather
-            assoc, n = _track_reference_kf(
-                s.kf_desc[rk], s.kf_feat_valid[rk],
-                s.kf_mp[rk], s.mp_valid, cur.features,
+            bundle, (fnd, vis) = _track_step(
+                self.model, self.params, s, cur.features,
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                jnp.asarray(bool(have_pred)),
+                jnp.asarray(last_mp), last_oct,
+                jnp.asarray(self.ref_kf),
+                jnp.asarray(R_last), jnp.asarray(t_last),
+                self.scale_table, self.sigma2_table, jnp.asarray(self.img_wh),
+                ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
+                bf=self.bf, n_levels=self.orb.n_levels,
             )
-            if int(n) >= 15:
-                R0 = jnp.asarray(last.R if last is not None else np.eye(3, dtype=np.float32))
-                t0 = jnp.asarray(last.t if last is not None else np.zeros(3, np.float32))
-                res = _pose_opt_from_assoc(
-                    self.model, self.params, R0, t0,
-                    assoc, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
-                    ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
-                )
-                if int(res.n_inliers) >= 10:
-                    cur.R = np.asarray(res.R)
-                    cur.t = np.asarray(res.t)
-                    cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc), -1)
-                    ok = True
-
-        stage1_ctx.__exit__(None, None, None)
-        if not ok:
-            return False
-
-        # Stage 2: track local map (`TrackLocalMap` Tracking.cc:2436).
-        timing_ctx = timing.span("tracking/track_local_map")
-        timing_ctx.__enter__()
-        local_kfs = self._local_keyframes(cur)
-        pad = np.full(16, -1, np.int32)
-        pad[: min(len(local_kfs), 16)] = local_kfs[:16]
-        local_mask = _local_point_mask(s, jnp.asarray(pad))
-        assoc2, visible = _track_local_map_match(
-            self.model, self.params, jnp.asarray(cur.R), jnp.asarray(cur.t),
-            s, local_mask, cur.features, jnp.asarray(cur.mp_assoc),
-            jnp.asarray(self.img_wh), n_levels=self.orb.n_levels,
-        )
-        res = _pose_opt_from_assoc(
-            self.model, self.params, jnp.asarray(cur.R), jnp.asarray(cur.t),
-            assoc2, cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
-            ur=jnp.asarray(cur.ur) if cur.ur is not None else None, bf=self.bf,
-        )
-        n_inl = int(res.n_inliers)
-        self.match_inliers = n_inl
+            # ONE host round-trip for every gate/decision of this frame;
+            # the found/visible stat arrays stay on device.
+            b = fetch(bundle)
         if dbg:
-            print(f"  [trk] stage2 n_assoc={int(jnp.sum(assoc2 >= 0))} n_inl={n_inl}",
-                  flush=True)
+            print(
+                f"  [trk] step used_a={bool(b['used_a'])} n_a={int(b['n_a'])} "
+                f"n_b={int(b['n_b'])} n_inl={int(b['n_inl'])}", flush=True,
+            )
+        if not bool(b["ok1"]):
+            return False
+        n_inl = int(b["n_inl"])
+        self.match_inliers = n_inl
         if n_inl < 15:  # ref threshold 30 normal / 15 after reloc (:2541-2574)
             return False
-        cur.R = np.asarray(res.R)
-        cur.t = np.asarray(res.t)
-        cur.mp_assoc = np.where(np.asarray(res.inlier), np.asarray(assoc2), -1)
+        cur.R = np.asarray(b["R"])
+        cur.t = np.asarray(b["t"])
+        cur.mp_assoc = np.asarray(b["assoc"]).copy()
+        if int(b["top_kfs"][0]) >= 0:
+            self.ref_kf = int(b["top_kfs"][0])
+        self._ref_matches_cache = int(b["ref_matches"])
+        self.store.state = s._replace(mp_found=fnd, mp_visible=vis)
+        s = self.store.state
 
         # After IMU init the reference replaces the visual-only pose
         # optimizer with the pose-inertial one (`Tracking::TrackLocalMap`,
@@ -873,48 +1005,38 @@ class Tracker:
                     ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
                     bf=self.bf,
                 )
-            n_vi = int(res_vi.n_inliers)
+            rv = fetch(res_vi)  # one round-trip for the whole result
+            n_vi = int(rv.n_inliers)
             if os.environ.get("DEBUG_PI"):
                 twc_vis = -cur.R.T @ cur.t
-                twc_vi = -np.asarray(res_vi.Rcw).T @ np.asarray(res_vi.tcw)
+                twc_vi = -rv.Rcw.T @ rv.tcw
                 print(
                     f"  [PI] n_vis={n_inl} n_vi={n_vi} |dpos|="
                     f"{np.linalg.norm(twc_vis - twc_vi):.4f} "
-                    f"v={np.asarray(res_vi.v).round(3)} "
-                    f"bg={np.asarray(res_vi.bg).round(4)} "
-                    f"ba={np.asarray(res_vi.ba).round(3)} dT={float(self.pre_from_kf.dT):.3f}",
+                    f"v={rv.v.round(3)} "
+                    f"bg={rv.bg.round(4)} "
+                    f"ba={rv.ba.round(3)} dT={float(self.pre_from_kf.dT):.3f}",
                     flush=True,
                 )
             if n_vi >= 15:
                 n_inl = n_vi
                 self.match_inliers = n_vi
-                cur.R = np.asarray(res_vi.Rcw)
-                cur.t = np.asarray(res_vi.tcw)
-                cur.mp_assoc = np.where(
-                    np.asarray(res_vi.inlier), np.asarray(assoc_gated), -1
-                )
-                self.body_vel = np.asarray(res_vi.v)
-                self.bias_g = np.asarray(res_vi.bg)
-                self.bias_a = np.asarray(res_vi.ba)
+                cur.R = rv.Rcw
+                cur.t = rv.tcw
+                cur.mp_assoc = np.where(rv.inlier, np.asarray(assoc_gated), -1)
+                self.body_vel = rv.v
+                self.bias_g = rv.bg
+                self.bias_a = rv.ba
                 # Stash the marginalized prior for the next frame
                 # (ref: mCurrentFrame.mpcpi set at the end of both
                 # PoseInertialOptimization variants).
-                self.frame_prior = (
-                    np.asarray(res_vi.R_wb), np.asarray(res_vi.p_wb),
-                    np.asarray(res_vi.v), np.asarray(res_vi.bg),
-                    np.asarray(res_vi.ba), np.asarray(res_vi.H),
-                )
+                self.frame_prior = (rv.R_wb, rv.p_wb, rv.v, rv.bg, rv.ba, rv.H)
                 self.prior_map_version = self.store.change_index
                 self.prior_ts = cur.timestamp
             else:
                 self.frame_prior = None
 
-        # found/visible bookkeeping (ref `Tracking::SearchLocalPoints`
-        # IncreaseVisible + `TrackLocalMap` IncreaseFound).
-        self.store.state = st.bump_found_visible(
-            self.store.state, visible, jnp.asarray(cur.mp_assoc)
-        )
-        timing_ctx.__exit__(None, None, None)
+        # (found/visible bookkeeping now happens inside `_track_step`.)
 
         # Motion model update (Tcl = Tcw_cur * Twc_last).
         if last is not None:
@@ -922,9 +1044,10 @@ class Tracker:
             Rwc, twc = Rl.T, -Rl.T @ tl
             self.velocity = (cur.R @ Rwc, cur.R @ twc + cur.t)
 
-        # Keyframe policy.
+        # Keyframe policy (suppressed in localization-only mode, ref
+        # `Tracking::Track` `bOK && !mbOnlyTracking` gate).
         self.frames_since_kf += 1
-        if self._need_new_keyframe(cur, n_inl):
+        if not self.only_tracking and self._need_new_keyframe(cur, n_inl):
             self._create_keyframe(cur)
         return True
 
@@ -981,7 +1104,7 @@ class Tracker:
         # NOTE: transfer the full fixed-shape arrays then slice on host —
         # `s.kf_mp[:n_kf]` is a device slice whose shape changes with
         # every keyframe, forcing an XLA recompile per KF count.
-        kf_mp = np.asarray(s.kf_mp)[: self.store.n_kf]
+        kf_mp = self.store.kf_mp_np()[: self.store.n_kf]
         valid = np.asarray(s.kf_valid)[: self.store.n_kf]
         ptset = np.zeros(s.Pmax + 1, bool)
         ptset[pts] = True
@@ -998,11 +1121,13 @@ class Tracker:
         ratio rule (90% of ref-KF tracked points) + min/max frame gaps."""
         if self.ref_kf < 0:
             return False
-        s = self.store.state
-        rk = jnp.asarray(self.ref_kf)
-        ref_matches = int(
-            np.asarray(((s.kf_mp[rk] >= 0) & s.kf_feat_valid[rk]).sum())
-        )
+        ref_matches = getattr(self, "_ref_matches_cache", None)
+        if ref_matches is None:  # legacy path (reloc etc.): one fetch
+            s = self.store.state
+            rk = jnp.asarray(self.ref_kf)
+            ref_matches = int(
+                np.asarray(((s.kf_mp[rk] >= 0) & s.kf_feat_valid[rk]).sum())
+            )
         c1 = self.frames_since_kf >= 10  # ref: mMaxFrames (fps)
         c2 = (n_inl < ref_matches * 0.9) and self.frames_since_kf >= 1
         return (c1 or c2) and n_inl >= 15

@@ -63,8 +63,10 @@ class System:
         )
         self.mapper.tracker = self.tracker
         self.tracker.new_kf_callback = self.mapper.process_keyframe
+        self.tracker.anomaly_cb = self._on_timestamp_anomaly
         self.loop_closer = None
         self.multimap = None
+        self._shutdown = False
 
     def enable_multimap(self, vocabulary, **kw):
         """Atlas multi-map mode (ref `Tracking::CreateMapInAtlas` +
@@ -112,6 +114,84 @@ class System:
 
         self.tracker.new_kf_callback = chained
 
+    # -- control surface (ref `System.h:102-178`) ----------------------
+    def activate_localization_mode(self):
+        """Ref `System::ActivateLocalizationMode` (`System.h:106`):
+        tracking continues against the frozen map; no keyframes, no
+        mapping, no loop closing."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Ref `System::DeactivateLocalizationMode` (`System.h:108`)."""
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Full reset (`System::Reset` -> `Tracking::Reset`,
+        `Tracking.cc:3456`): drop every map, database and the trajectory;
+        back to NO_IMAGES_YET."""
+        self.tracker.reset_map_state(full=True)
+        self._swap_fresh_store()
+        if self.multimap is not None:
+            self.multimap.atlas.maps = [self.store]
+            self.multimap.atlas.active_idx = 0
+            self.multimap.kfdbs = {}
+            self.multimap.lost_streak = 0
+
+    def reset_active_map(self):
+        """Ref `System::ResetActiveMap` -> `Tracking::ResetActiveMap`
+        (`Tracking.cc:3521`): discard the active map's content and start
+        fresh; stored Atlas maps and their trajectory segments survive."""
+        old = self.store
+        self.tracker.reset_map_state(full=False)
+        self._swap_fresh_store()
+        if self.multimap is not None:
+            maps = self.multimap.atlas.maps
+            maps[maps.index(old)] = self.store
+            self.multimap.kfdbs.pop(id(old), None)
+            self.multimap.lost_streak = 0
+
+    def shutdown(self):
+        """Ref `System::Shutdown` (`System.cc:474`): finish background
+        work (async GBA joins here once dispatched) and refuse further
+        frames."""
+        if self.loop_closer is not None and hasattr(self.loop_closer, "join_gba"):
+            self.loop_closer.join_gba()
+        self._shutdown = True
+
+    def _swap_fresh_store(self):
+        s = self.store.state
+        new = MapStore(Kmax=s.Kmax, Pmax=s.Pmax, Nf=s.Nf)
+        self.store = new
+        self.tracker.store = new
+        self.mapper.store = new
+        self.mapper.preints = {}
+        self.mapper.recent_mp = []
+        self.mapper.bad_imu = False
+        if self.mapper.imu_init is not None:
+            from orbslam3_tpu.pipeline.inertial_support import ImuInitializer
+
+            self.mapper.imu_init = ImuInitializer(
+                self.mapper.imu_calib, mono=self.sensor == Sensor.IMU_MONOCULAR
+            )
+        if self.loop_closer is not None:
+            from orbslam3_tpu.atlas.kfdb import KeyFrameDB
+
+            kfdb = KeyFrameDB(self.loop_closer.kfdb.voc, Kmax=s.Kmax)
+            self.loop_closer.kfdb = kfdb
+            self.loop_closer.store = new
+            self.loop_closer._pending = None
+            self.loop_closer.last_loop_kf = -10_000
+            self.tracker.kfdb = kfdb
+
+    def _on_timestamp_anomaly(self, kind: str):
+        """Ref `Tracking::Track` (`Tracking.cc:987-1031`): frame reorder or
+        a >1 s gap before IMU init resets the active map; a gap after IMU
+        init keeps the (gravity-aligned) map and starts a new one."""
+        if kind == "gap_init" and self.multimap is not None:
+            self.multimap._create_map()
+        else:
+            self.reset_active_map()
+
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, timestamp: float, imu_measurements=None):
         """Ref `System::TrackMonocular`: feeds queued IMU samples
@@ -121,6 +201,10 @@ class System:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
         out = self.tracker.process_frame(img, timestamp)
+        if self.mapper.bad_imu:
+            # Watchdog fired during mapping (`LocalMapping.cc:183-192`):
+            # not enough motion to ever initialize the IMU — restart.
+            self.reset_active_map()
         if self.multimap is not None:
             self.multimap.on_frame_done()
         return out
@@ -133,7 +217,10 @@ class System:
         if imu_measurements:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
-        return self.tracker.process_stereo_frame(img_left, img_right, timestamp)
+        out = self.tracker.process_stereo_frame(img_left, img_right, timestamp)
+        if self.mapper.bad_imu:
+            self.reset_active_map()
+        return out
 
     def track_rgbd(self, img: np.ndarray, depth_map: np.ndarray, timestamp: float):
         """Ref `System::TrackRGBD` (`System.cc:265`)."""
@@ -166,6 +253,12 @@ class System:
         """Ref `System::SaveTrajectoryTUM` / `SaveTrajectoryEuRoC`."""
         rows = self.tracker.reconstructed_trajectory()
         traj_io.save_tum(path, [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows])
+
+    def save_trajectory_kitti(self, path: str):
+        """Ref `System::SaveTrajectoryKITTI` (`System.h:158`): one 3x4
+        row-major Twc per line, frame order."""
+        rows = self.tracker.reconstructed_trajectory()
+        traj_io.save_kitti(path, [r[1] for r in rows], [r[2] for r in rows])
 
     def save_keyframe_trajectory_tum(self, path: str):
         s = self.store.state

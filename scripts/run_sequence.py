@@ -1,0 +1,160 @@
+"""Universal dataset runner — the TPU-native analog of the reference's
+Examples mains (`/root/reference/Examples/Monocular/mono_{tum,kitti,euroc,
+tum_vi}.cc`, `Examples/RGB-D/rgbd_tum.cc`, stereo mains): replay any
+supported dataset layout through the System in any sensor mode, save the
+trajectory (TUM or KITTI format) and report ATE when ground truth exists.
+
+Usage:
+  python scripts/run_sequence.py SETTINGS.yaml SEQ_DIR \
+      --dataset euroc|tumvi|kitti|tumrgbd \
+      --mode mono|mono-vi|stereo|rgbd \
+      [--assoc FILE] [--timestamps FILE] [--max-frames N] [--no-loop]
+      [--vocab voc.npz] [--out traj.txt] [--traj-format tum|kitti]
+
+`euroc` and `tumvi` share the mav0 layout; `--mode mono-vi` adds IMU from
+mav0/imu0. `kitti` reads image_0/ (+image_1/ for stereo). `tumrgbd` needs
+the associations file (`--assoc`).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+from orbslam3_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("seq_dir")
+    ap.add_argument("--dataset", choices=["euroc", "tumvi", "kitti", "tumrgbd"],
+                    default="euroc")
+    ap.add_argument("--mode", choices=["mono", "mono-vi", "stereo", "rgbd"],
+                    default="mono")
+    ap.add_argument("--assoc", default=None, help="TUM RGB-D associations file")
+    ap.add_argument("--timestamps", default=None, help="EuRoC timestamp list")
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--kf-out", default="kf_trajectory.txt")
+    ap.add_argument("--traj-format", choices=["tum", "kitti"], default="tum")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--kmax", type=int, default=512)
+    ap.add_argument("--pmax", type=int, default=65536)
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--vocab", default=None)
+    args = ap.parse_args()
+
+    from orbslam3_tpu import config as cfg
+    from orbslam3_tpu.io import datasets
+    from orbslam3_tpu.ops import imu as imu_ops
+    from orbslam3_tpu.system import System, Sensor
+    from orbslam3_tpu.eval.ate import ate_rmse
+
+    settings = cfg.load_settings(args.settings)
+
+    if args.dataset in ("euroc", "tumvi"):
+        seq = datasets.load_euroc_images(args.seq_dir, args.timestamps)
+    elif args.dataset == "kitti":
+        seq = datasets.load_kitti(args.seq_dir)
+    else:
+        assert args.assoc, "--assoc required for tumrgbd"
+        seq = datasets.load_tum_rgbd(args.seq_dir, args.assoc)
+    n = len(seq) if not args.max_frames else min(len(seq), args.max_frames)
+    print(f"{args.dataset}/{args.mode}: {n} frames, camera model {settings.camera.model}")
+
+    imu_calib = None
+    imu = None
+    if args.mode == "mono-vi":
+        assert settings.imu is not None, "settings lack an IMU section"
+        ic = settings.imu
+        imu_calib = imu_ops.ImuCalib.create(
+            Rbc=ic.Tbc[:3, :3], tbc=ic.Tbc[:3, 3],
+            noise_gyro=ic.noise_gyro, noise_acc=ic.noise_acc,
+            walk_gyro=ic.walk_gyro, walk_acc=ic.walk_acc, freq=ic.freq,
+        )
+        imu = datasets.load_euroc_imu(args.seq_dir)
+
+    sensor = {
+        "mono": Sensor.MONOCULAR,
+        "mono-vi": Sensor.IMU_MONOCULAR,
+        "stereo": Sensor.STEREO,
+        "rgbd": Sensor.RGBD,
+    }[args.mode]
+    slam = System(
+        sensor, settings.camera.model, settings.camera.params,
+        (settings.camera.width, settings.camera.height),
+        orb_params=settings.orb, imu_calib=imu_calib,
+        bf=settings.camera.bf, Kmax=args.kmax, Pmax=args.pmax,
+    )
+
+    if not args.no_loop:
+        from orbslam3_tpu.ops import bow, features as feat_ops
+        import jax.numpy as jnp
+
+        voc = None
+        if args.vocab and os.path.exists(args.vocab):
+            voc = bow.load_npz(args.vocab)
+            print(f"vocabulary: {voc.n_words} words (cached)")
+        if voc is None:
+            stride = max(1, n // 40)
+            train = []
+            for k in range(0, n, stride):
+                f = feat_ops.extract(jnp.asarray(seq.read(k)), settings.orb)
+                train.append(np.asarray(f.desc)[np.asarray(f.valid)])
+            voc = bow.build_vocabulary(np.concatenate(train), k=10, depth=4, seed=0)
+            print(f"vocabulary: trained {voc.n_words} words")
+            if args.vocab:
+                bow.save_npz(args.vocab, voc)
+        slam.enable_place_recognition(voc)
+
+    cursor = 0
+    t0 = time.perf_counter()
+    for k in range(n):
+        ts = float(seq.timestamps[k])
+        if args.mode == "mono-vi":
+            hi = np.searchsorted(imu.timestamps, ts, side="right")
+            batch = (
+                imu.timestamps[cursor:hi], imu.gyro[cursor:hi], imu.acc[cursor:hi]
+            )
+            cursor = hi
+            slam.track_monocular(seq.read(k), ts, imu_measurements=batch)
+        elif args.mode == "stereo":
+            slam.track_stereo(seq.read(k), seq.read_right(k), ts)
+        elif args.mode == "rgbd":
+            depth = seq.read_right(k) / settings.camera.depth_map_factor
+            slam.track_rgbd(seq.read(k), depth, ts)
+        else:
+            slam.track_monocular(seq.read(k), ts)
+        if k % 50 == 0:
+            print(
+                f"[{k}/{n}] state={slam.tracking_state.name} "
+                f"kfs={slam.n_keyframes} mps={slam.n_map_points}", flush=True,
+            )
+    wall = time.perf_counter() - t0
+    print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
+
+    ts_est, pos_est = slam.get_trajectory()
+    if args.traj_format == "kitti":
+        slam.save_trajectory_kitti(args.out)
+    else:
+        slam.save_trajectory_tum(args.out)
+    slam.save_keyframe_trajectory_tum(args.kf_out)
+    print(f"trajectories -> {args.out}, {args.kf_out}")
+
+    gt_path = os.path.join(args.seq_dir, "mav0", "state_groundtruth_estimate0", "data.csv")
+    if args.dataset in ("euroc", "tumvi") and os.path.exists(gt_path):
+        gt_ts, gt_pos, _ = datasets.load_groundtruth_euroc(args.seq_dir)
+        err = ate_rmse(ts_est, pos_est, gt_ts, gt_pos,
+                       with_scale=args.mode in ("mono", "mono-vi"))
+        print(f"ATE RMSE: {err:.4f} m")
+
+
+if __name__ == "__main__":
+    main()
