@@ -116,6 +116,28 @@ def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50):
     return max(t2 - t1, 1e-9) / iters * 1e3
 
 
+def bench_scaling():
+    """BA scaling efficiency across a 2-device mesh, measured in a
+    CPU-only SUBPROCESS (two TPU processes would deadlock the tunnel;
+    and multi-chip hardware isn't available here). Virtual devices share
+    the host's cores, so this is a conservative lower bound — see
+    scripts/bench_ba_scaling.py."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scripts", "bench_ba_scaling.py")],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     fps = bench_tracking()
 
@@ -131,6 +153,8 @@ def main():
     amortized_ms = frame_ms + (ba_local_ms * 5) / 10.0
     fps_amortized = 1e3 / amortized_ms
 
+    scaling = bench_scaling()
+
     print(
         json.dumps(
             {
@@ -144,6 +168,7 @@ def main():
                     "fps_amortized_with_mapping": round(fps_amortized, 2),
                     "ba_local_ms_per_iter_16kf_4kpt": round(ba_local_ms, 2),
                     "ba_global_ms_per_iter_128kf_16kpt": round(ba_global_ms, 2),
+                    "ba_scaling": scaling,
                 },
             }
         )

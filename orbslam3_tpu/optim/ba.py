@@ -119,6 +119,7 @@ def solve_ba(
     pcg_iters: int = 50,
     point_damping: float = 1e-6,
     axis_name: str | None = None,
+    point_axis_local: bool = False,
 ) -> BAResult:
     """LM bundle adjustment. `iters` ~ the reference's budgets
     (5+10 local `Optimizer.cc:1990-2012`, 10 global, 20 at init).
@@ -127,7 +128,16 @@ def solve_ba(
     sharded across a device mesh (cameras/points replicated), pass the
     mesh axis name — every observation reduction becomes a local
     segment-sum + one `psum` over ICI, which is the entire distributed-BA
-    communication pattern (SURVEY.md §5.8)."""
+    communication pattern (SURVEY.md §5.8).
+
+    `point_axis_local`: the point axis is SHARDED, not replicated — this
+    shard owns `prob.points` and every observation of those points
+    (`prob.obs_point` holds shard-local indices). Point-block reductions
+    (Hpp, bp, both PCG matvec segment-sums into points) then need NO
+    collective at all; only the reduced camera system is `psum`'d. This
+    is the state-scaling layout of `parallel/ba_sharded.py::
+    solve_ba_point_sharded` (SURVEY §7 step 9: keyframe/map-point block
+    partitioning)."""
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
 
@@ -137,8 +147,9 @@ def solve_ba(
     def seg_cam(vals):  # (O_local,...) -> (C,...) replicated
         return _allreduce(jax.ops.segment_sum(vals, prob.obs_cam, num_segments=C))
 
-    def seg_point(vals):  # (O_local,...) -> (P,...) replicated
-        return _allreduce(jax.ops.segment_sum(vals, prob.obs_point, num_segments=P))
+    def seg_point(vals):  # (O_local,...) -> (P,...); local when points are sharded
+        s = jax.ops.segment_sum(vals, prob.obs_point, num_segments=P)
+        return s if point_axis_local else _allreduce(s)
 
     eye6 = jnp.eye(6, dtype=prob.cam_R.dtype)
     eye3 = jnp.eye(3, dtype=prob.cam_R.dtype)
@@ -214,5 +225,6 @@ def solve_ba(
 
 
 solve_ba_jit = jax.jit(
-    solve_ba, static_argnames=("model", "iters", "pcg_iters", "axis_name")
+    solve_ba,
+    static_argnames=("model", "iters", "pcg_iters", "axis_name", "point_axis_local"),
 )

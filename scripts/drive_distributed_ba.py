@@ -1,0 +1,174 @@
+"""2-host distributed BA drive — the DCN analog (SURVEY §7 step 9).
+
+Spawns TWO OS processes, each owning one CPU device, joined with
+`jax.distributed`; the map-point axis of a global BA problem is block-
+partitioned across the two "hosts" (`parallel/ba_sharded.py::
+run_point_sharded`), so point state and Hpp blocks live only on their
+owner and the sole cross-host traffic is the `psum` of the reduced
+camera system. Process 0 also solves the same problem single-device and
+asserts the distributed result matches (exact up to summation order).
+
+The reference has no distributed story at all (std::thread on one host,
+SURVEY §2.3) — this layer is the BASELINE.json north-star invention.
+
+Usage: python scripts/drive_distributed_ba.py          # parent: spawns 2
+       python scripts/drive_distributed_ba.py --proc I # child (internal)
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PORT = 29881
+NPROC = 2
+
+
+def child(proc_id: int, nprocs: int = NPROC, bench: bool = False):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=nprocs, process_id=proc_id,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from orbslam3_tpu.optim import ba
+    from orbslam3_tpu.parallel import ba_sharded
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synthetic import make_scene, perturb_poses
+    from test_optim import _ba_problem_from_scene
+
+    assert len(jax.devices()) == nprocs, jax.devices()
+    assert len(jax.local_devices()) == 1
+
+    rng = np.random.default_rng(17)
+    if bench:
+        scene = make_scene(rng, n_cams=48, n_pts=8192, noise_px=0.3, radius=8.0)
+    else:
+        scene = make_scene(rng, n_cams=6, n_pts=160, noise_px=0.3)
+    Rs2, ts2 = perturb_poses(rng, scene["cam_R"], scene["cam_t"], keep_first=2)
+    prob = _ba_problem_from_scene(scene)._replace(
+        cam_R=jnp.asarray(Rs2), cam_t=jnp.asarray(ts2)
+    )
+
+    mesh = ba_sharded.make_mesh(jax.devices())
+    prob_s, dst, fill, Pn = ba_sharded.prep_point_sharded(prob, nprocs)
+    in_spec, _ = ba_sharded.point_sharded_specs(mesh.axis_names[0])
+
+    def to_global(x, spec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        if spec == P():  # replicated: every process supplies the full value
+            return jax.make_array_from_process_local_data(sh, x)
+        half = x.shape[0] // nprocs
+        return jax.make_array_from_process_local_data(
+            sh, x[proc_id * half : (proc_id + 1) * half]
+        )
+
+    prob_g = ba.BAProblem(*[
+        to_global(v, s) for v, s in zip(prob_s, in_spec)
+    ])
+
+    def solve():
+        return ba_sharded.run_point_sharded(
+            scene["model"], scene["params"], prob_g, mesh, iters=5, pcg_iters=30
+        )
+
+    res = solve()
+    jax.block_until_ready(res.cam_t)
+
+    if bench:
+        import time
+
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(solve().cam_t)
+        dt = (time.perf_counter() - t0) / reps
+        if proc_id == 0:
+            print(f"BENCH_SECONDS {dt:.3f}", flush=True)
+        jax.distributed.shutdown()
+        return
+
+    cam_t = np.asarray(res.cam_t.addressable_data(0))
+    cam_R = np.asarray(res.cam_R.addressable_data(0))
+    if proc_id == 0:
+        ref = ba.solve_ba(
+            scene["model"], scene["params"], prob, iters=5, pcg_iters=30
+        )
+        dt = float(np.abs(cam_t - np.asarray(ref.cam_t)).max())
+        dR = float(np.abs(cam_R - np.asarray(ref.cam_R)).max())
+        print(f"2-process point-sharded BA: max|dt|={dt:.2e} max|dR|={dR:.2e}",
+              flush=True)
+        assert dt < 2e-3 and dR < 2e-3, (dt, dR)
+        print("DIST OK", flush=True)
+    jax.distributed.shutdown()
+
+
+def _spawn(nprocs: int, bench: bool, pin: bool):
+    """Launch `nprocs` children; with `pin`, each gets its own 2 host
+    cores (taskset) so strong-scaling timings compare fixed per-host
+    resources — the honest DCN analog on one machine."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = []
+    for i in range(nprocs):
+        argv = [sys.executable, os.path.abspath(__file__), "--proc", str(i),
+                "--nprocs", str(nprocs)] + (["--bench"] if bench else [])
+        if pin:
+            argv = ["taskset", "-c", f"{2 * i},{2 * i + 1}"] + argv
+        procs.append(subprocess.Popen(
+            argv, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    return procs, outs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--proc", type=int, default=-1)
+    ap.add_argument("--nprocs", type=int, default=NPROC)
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+    if args.proc >= 0:
+        child(args.proc, args.nprocs, args.bench)
+        return
+    if args.bench:
+        import json
+        import re
+
+        times = {}
+        for n in (1, 2):
+            _, outs = _spawn(n, bench=True, pin=True)
+            m = re.search(r"BENCH_SECONDS ([\d.]+)", outs[0])
+            assert m, outs[0][-2000:]
+            times[n] = float(m.group(1))
+        eff = times[1] / (2 * times[2])
+        print(json.dumps({
+            "ba_s_1host": round(times[1], 3), "ba_s_2host": round(times[2], 3),
+            "scaling_efficiency_2host": round(eff, 3),
+            "note": "2 cores per 'host' via taskset; gloo over localhost",
+        }))
+        return
+    procs, outs = _spawn(NPROC, bench=False, pin=False)
+    ok = all(p.returncode == 0 for p in procs) and "DIST OK" in outs[0]
+    for i, o in enumerate(outs):
+        tail = "\n".join(o.strip().splitlines()[-6:])
+        print(f"--- proc {i} ---\n{tail}")
+    if not ok:
+        sys.exit("2-process drive FAILED")
+    print("DRIVE OK")
+
+
+if __name__ == "__main__":
+    main()
