@@ -35,6 +35,8 @@ class CameraConfig:
     # second camera (stereo fisheye)
     params2: Optional[np.ndarray] = None
     T_c1_c2: Optional[np.ndarray] = None  # 4x4 (Tlr)
+    lapping1: Optional[tuple] = None  # (lappingBegin, lappingEnd) cam 1
+    lapping2: Optional[tuple] = None
     depth_map_factor: float = 1.0
 
 
@@ -114,6 +116,12 @@ def load_settings(path: str) -> Settings:
         if "Tlr" in d:
             T12 = _get_matrix(d["Tlr"])
 
+    def _lap(prefix):
+        if f"{prefix}.lappingBegin" in d:
+            return (float(d[f"{prefix}.lappingBegin"]),
+                    float(d[f"{prefix}.lappingEnd"]))
+        return None
+
     camera = CameraConfig(
         model=model,
         params=params,
@@ -125,6 +133,8 @@ def load_settings(path: str) -> Settings:
         rgb=bool(int(d.get("Camera.RGB", 1))),
         params2=params2,
         T_c1_c2=T12,
+        lapping1=_lap("Camera"),
+        lapping2=_lap("Camera2"),
         depth_map_factor=float(d.get("DepthMapFactor", 1.0)),
     )
     orb = feat.OrbParams(

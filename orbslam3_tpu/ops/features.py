@@ -299,8 +299,16 @@ def extract(image: jnp.ndarray, params: OrbParams = OrbParams()) -> Features:
             lvl_img = jax.image.resize(image, (h, w), method="bilinear")
         h, w = lvl_img.shape
 
-        score, pass_ini = fast_score(lvl_img, params.min_th, params.ini_th)
-        score = _nms3(score)
+        from orbslam3_tpu.ops import pallas_fast  # lazy: avoids circular import
+
+        if pallas_fast.enabled_for(h, w):
+            # Fused FAST+score+NMS in VMEM (TPU; identical interior values).
+            score, pass_ini = pallas_fast.fast_score_nms_pallas(
+                lvl_img, params.min_th, params.ini_th
+            )
+        else:
+            score, pass_ini = fast_score(lvl_img, params.min_th, params.ini_th)
+            score = _nms3(score)
         # Border mask: FAST ring + descriptor reach.
         b = EDGE_THRESHOLD
         ys = jnp.arange(h)[:, None]

@@ -41,6 +41,151 @@ def _gba_jit(model, params, state: st.MapState, fixed, sigma2_table, bf, iters, 
     return new_state, res.cost
 
 
+class AsyncGBA:
+    """Interruptible background global BA — the TPU-native re-expression of
+    the reference's transient GBA thread (`LoopClosing::RunGlobalBundle-
+    Adjustment` spawned at `LoopClosing.cc:1323`, abort flag `mbStopGBA`
+    checked at `:1099-1118`).
+
+    Instead of a concurrent thread mutating shared map state, the problem
+    is SNAPSHOTTED at `start()`; `tick()` advances the LM solve by a small
+    chunk of iterations as ONE async device dispatch (the host never
+    blocks — tracking's dispatches interleave with the chunks in the
+    device queue); `abort()` drops the solve between chunks. When the last
+    chunk completes, the correction is applied to the CURRENT store:
+    keyframes and map points created while the solve ran are corrected
+    through their reference keyframe — the spanning-tree propagation of
+    `LoopClosing.cc:2559-2680`.
+    """
+
+    def __init__(self, model, params, sigma2_table, bf: float = 0.0,
+                 iters: int = 10, chunk: int = 2, pcg_iters: int = 50):
+        self.model = model
+        self.params = jnp.asarray(params)
+        self.sigma2_table = jnp.asarray(sigma2_table)
+        self.bf = bf
+        self.iters = iters
+        self.chunk = chunk
+        self.pcg_iters = pcg_iters
+        self._state = None  # in-flight optimized snapshot (device)
+        self.n_finished = 0
+        self.n_aborted = 0
+
+    @property
+    def running(self) -> bool:
+        return self._state is not None
+
+    def start(self, store: st.MapStore):
+        """Snapshot the map and begin the solve (any previous run is
+        aborted — ref `:1099`: a new loop stops the old GBA)."""
+        if self.running:
+            self.abort()
+        s = store.state
+        fixed = ~np.asarray(s.kf_valid)
+        fixed[0] = True
+        self._state = s
+        self._fixed = jnp.asarray(fixed)
+        self._it = 0
+        # Host mirrors for the finish-time propagation guard.
+        self._valid0_kf = np.asarray(s.kf_valid).copy()
+        self._valid0_mp = np.asarray(s.mp_valid).copy()
+        self._first0 = np.asarray(s.mp_first_kf).copy()
+        self._ts0 = store.kf_ts.copy()
+        self._store_id = id(store)
+        self._R0 = s.kf_R  # device; only read at finish
+        self._t0 = s.kf_t
+
+    def abort(self):
+        """Ref `mbStopGBA` (`LoopClosing.cc:1104`): drop the in-flight
+        solve; the map keeps its pose-graph-corrected state."""
+        if self.running:
+            self._state = None
+            self.n_aborted += 1
+
+    def tick(self, store: st.MapStore) -> bool:
+        """Advance one chunk; returns True when the solve just finished
+        and its result was folded into `store`."""
+        if not self.running:
+            return False
+        if id(store) != self._store_id:
+            # The active map changed under us (reset / multi-map merge):
+            # the snapshot no longer corresponds — drop the solve.
+            self.abort()
+            return False
+        n = min(self.chunk, self.iters - self._it)
+        self._state, _cost = _gba_jit(
+            self.model, self.params, self._state, self._fixed,
+            self.sigma2_table, self.bf, n, self.pcg_iters,
+        )
+        self._it += n
+        if self._it < self.iters:
+            return False
+        self._finish(store)
+        return True
+
+    def join(self, store: st.MapStore):
+        """Drain to completion (ref `System::Shutdown` waiting on the GBA
+        thread, `System.cc:474-500`)."""
+        while self.running:
+            self.tick(store)
+
+    # ------------------------------------------------------------------
+    def _finish(self, store: st.MapStore):
+        """Fold the optimized snapshot into the live store with
+        spanning-tree-style propagation (`LoopClosing.cc:2559-2680`)."""
+        opt = self._state
+        self._state = None
+        s = store.state
+        from orbslam3_tpu.utils.fetch import fetch
+
+        (Rg, tg, pg_, R0, t0, Rc, tc, valid_kf, valid_mp, first_now) = fetch(
+            opt.kf_R, opt.kf_t, opt.mp_pos, self._R0, self._t0,
+            s.kf_R, s.kf_t, s.kf_valid, s.mp_valid, s.mp_first_kf,
+        )
+        K = s.Kmax
+        # KFs present in the snapshot (same slot, same timestamp): GBA pose.
+        in_gba = self._valid0_kf & valid_kf & (self._ts0 == store.kf_ts)
+        # KFs created meanwhile: anchor on the temporally previous
+        # snapshot KF and keep the relative pose (T_new' = (T_new T_a^-1)
+        # T_a_gba — ref `:2608-2630` via spanning-tree parent).
+        newR = Rc.copy()
+        newt = tc.copy()
+        newR[in_gba] = Rg[in_gba]
+        newt[in_gba] = tg[in_gba]
+        gba_ids = np.flatnonzero(in_gba)
+        if len(gba_ids):
+            order = gba_ids[np.argsort(store.kf_ts[gba_ids])]
+            for k in np.flatnonzero(valid_kf & ~in_gba):
+                pos = np.searchsorted(store.kf_ts[order], store.kf_ts[k])
+                a = order[min(max(pos - 1, 0), len(order) - 1)]
+                R_rel = Rc[k] @ R0[a].T  # T_k T_a^-1 (rotation part)
+                t_rel = tc[k] - R_rel @ t0[a]
+                newR[k] = R_rel @ Rg[a]
+                newt[k] = R_rel @ tg[a] + t_rel
+        # Points: snapshot points take their GBA position; points born
+        # meanwhile ride their first KF's correction (ref `:2648-2676`).
+        in_gba_mp = self._valid0_mp & valid_mp & (self._first0 == first_now)
+        newp = fetch(s.mp_pos).copy()
+        newp[in_gba_mp] = pg_[in_gba_mp]
+        fresh = np.flatnonzero(valid_mp & ~in_gba_mp)
+        for p in fresh:
+            a = first_now[p]
+            if a < 0 or not valid_kf[a]:
+                continue
+            if in_gba[a]:  # born before the snapshot KF moved: old->GBA pose
+                Ra_old, ta_old = R0[a], t0[a]
+            else:  # born at a mid-flight KF: its pose was propagated above
+                Ra_old, ta_old = Rc[a], tc[a]
+            Xc = Ra_old @ newp[p] + ta_old  # anchor cam frame (pre-correction)
+            newp[p] = newR[a].T @ (Xc - newt[a])
+        store.state = s._replace(
+            kf_R=jnp.asarray(newR), kf_t=jnp.asarray(newt),
+            mp_pos=jnp.asarray(newp),
+        )
+        store.bump()
+        self.n_finished += 1
+
+
 def global_ba(
     store: st.MapStore,
     model,

@@ -82,6 +82,9 @@ class LoopCloser:
         self.mapper = mapper  # for purge_freed after SearchAndFuse
         self.last_loop_kf = -10_000
         self.n_loops_closed = 0
+        # Background interruptible GBA (ref transient thread,
+        # `LoopClosing.cc:1323`); None = synchronous fallback.
+        self.gba_async = None
         # Pending region for temporal consistency: (loop_kf, count,
         # last confirming kf). Ref mnLoopNumCoincidences
         # (`LoopClosing.cc:345-475`).
@@ -292,7 +295,13 @@ class LoopCloser:
         self._search_and_fuse(kf_id, loop_kf, covis)
 
         if self.run_gba:
-            self._global_ba(kf_id)
+            if self.gba_async is not None:
+                # A new closure aborts any in-flight GBA and starts over
+                # from the freshly corrected map (`LoopClosing.cc:1099-1118`).
+                self.gba_async.abort()
+                self.gba_async.start(self.store)
+            else:
+                self._global_ba(kf_id)
 
     # ------------------------------------------------------------------
     def _search_and_fuse(self, kf_id: int, loop_kf: int, covis):

@@ -393,9 +393,27 @@ class Tracker:
         orb_params: feat.OrbParams = feat.OrbParams(),
         bf: float = 0.0,
         imu_calib=None,  # ops.imu.ImuCalib for inertial modes
+        camera2=None,  # (params2, T_lr 4x4, lapping1, lapping2) stereo-fisheye
     ):
         self.model = model
         self.params = params
+        # Two-camera rig (ref `Frame.cc:1187` two-camera ctor): right
+        # camera intrinsics + right<-left extrinsics from Tlr.
+        self.camera2 = None
+        if camera2 is not None:
+            params2, T_lr, lap1, lap2 = camera2
+            T_lr = np.asarray(T_lr, np.float64)
+            R_rl = T_lr[:3, :3].T
+            t_rl = -R_rl @ T_lr[:3, 3]
+            W = float(img_wh[0])
+            self.camera2 = dict(
+                params=jnp.asarray(params2, jnp.float32),
+                R_rl=jnp.asarray(R_rl, jnp.float32),
+                t_rl=jnp.asarray(t_rl, jnp.float32),
+                lap1=tuple(lap1) if lap1 else (0.0, W - 1.0),
+                lap2=tuple(lap2) if lap2 else (0.0, W - 1.0),
+                baseline=float(np.linalg.norm(T_lr[:3, 3])),
+            )
         self.img_wh = np.asarray(img_wh, np.float32)
         self.store = store
         self.orb = orb_params
@@ -639,6 +657,39 @@ class Tracker:
             f, timestamp, ur=np.asarray(sm.ur), depth=np.asarray(sm.depth)
         )
 
+    def process_stereo_fisheye_frame(
+        self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float
+    ) -> fr.FrameData:
+        """Stereo-fisheye (KB8 two-camera) entry — ref `Frame.cc:1187`
+        (two-camera ctor + lapping areas) and `ComputeStereoFishEyeMatches`
+        (`Frame.cc:1281` -> `KannalaBrandt8::TriangulateMatches`,
+        `KannalaBrandt8.cpp:334`): extract both fisheye images, BF-match
+        descriptors inside the lapping areas, triangulate each match with
+        the rig extrinsics -> metric per-feature depth on the LEFT camera.
+        Tracking then runs on the left camera with mono residuals at
+        metric scale: depth enters through single-frame initialization and
+        mapping's point creation, which is where the reference's stereo
+        observability lives. (The reference's extra right-camera
+        projection factors are descoped; its own fisheye path also has no
+        rectified `ur` — `mvuRight` stays -1, `Frame.cc:1300`.)"""
+        from orbslam3_tpu.ops import stereo as stereo_ops
+
+        c2 = self.camera2
+        assert c2 is not None, "construct the Tracker with camera2=..."
+        f = self._extract(img_left)
+        f_r = self._extract(img_right)
+        fs = stereo_ops.match_stereo_fisheye(
+            self.model, self.params, c2["params"], f, f_r,
+            c2["R_rl"], c2["t_rl"], self.sigma2_table,
+            lap_l=c2["lap1"], lap_r=c2["lap2"],
+        )
+        depth = np.asarray(fs.depth)
+        # Same close/far gate as rectified stereo (ThDepth * baseline).
+        close = (depth > 0) & (depth < self.th_depth * c2["baseline"])
+        depth = np.where(close, depth, -1.0)
+        ur = np.full(f.uv.shape[0], -1.0, np.float32)  # no rectified ur for KB8
+        return self._process_with_features(f, timestamp, ur=ur, depth=depth)
+
     def process_frame(self, img: np.ndarray, timestamp: float) -> fr.FrameData:
         f = self._extract(img)
         return self._process_with_features(f, timestamp)
@@ -762,7 +813,8 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.frames_since_kf = 0
-        self._record_pose(cur.timestamp, np.eye(3), np.zeros(3))
+        # (pose recorded by the caller's state==OK path; recording here
+        # too duplicated the init frame's trajectory entry)
         self.init_frame = None
 
     def _initialize_mono(self, cur: fr.FrameData):

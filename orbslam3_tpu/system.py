@@ -43,6 +43,7 @@ class System:
         orb_params: feat.OrbParams = feat.OrbParams(),
         bf: float = 0.0,
         imu_calib=None,  # ops.imu.ImuCalib (required for IMU_* sensors)
+        camera2=None,  # (params2, Tlr, lapping1, lapping2) — stereo fisheye
         Kmax: int = 256,
         Pmax: int = 16384,
     ):
@@ -54,7 +55,7 @@ class System:
         params = jnp.asarray(camera_params, jnp.float32)
         self.tracker = Tracker(
             camera_model, params, img_wh, self.store, orb_params, bf=bf,
-            imu_calib=imu_calib if inertial else None,
+            imu_calib=imu_calib if inertial else None, camera2=camera2,
         )
         self.mapper = LocalMapper(
             camera_model, params, img_wh, self.store, orb_params, bf=bf,
@@ -85,7 +86,7 @@ class System:
 
     def enable_place_recognition(self, vocabulary, run_gba: bool = True,
                                  min_bow_matches: int = 20, min_sim3_inliers: int = 20,
-                                 consecutive: int = 3):
+                                 consecutive: int = 3, async_gba: bool = True):
         """Attach a vocabulary: enables relocalization + loop closing
         (ref `System.cc:83-95`: vocabulary -> KeyFrameDatabase ->
         LoopClosing thread). `consecutive` is the reference's
@@ -106,6 +107,13 @@ class System:
             img_wh=self.tracker.img_wh, scale_table=self.tracker.scale_table,
             mapper=self.mapper,
         )
+        if run_gba and async_gba:
+            from orbslam3_tpu.pipeline.gba import AsyncGBA
+
+            self.loop_closer.gba_async = AsyncGBA(
+                self.tracker.model, self.tracker.params,
+                self.tracker.sigma2_table, bf=self.tracker.bf,
+            )
         mapper_cb = self.mapper.process_keyframe
 
         def chained(slot, initial=False, preint=None):
@@ -154,8 +162,9 @@ class System:
         """Ref `System::Shutdown` (`System.cc:474`): finish background
         work (async GBA joins here once dispatched) and refuse further
         frames."""
-        if self.loop_closer is not None and hasattr(self.loop_closer, "join_gba"):
-            self.loop_closer.join_gba()
+        lc = self.loop_closer
+        if lc is not None and lc.gba_async is not None:
+            lc.gba_async.join(self.store)
         self._shutdown = True
 
     def _swap_fresh_store(self):
@@ -201,6 +210,7 @@ class System:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
         out = self.tracker.process_frame(img, timestamp)
+        self._tick_gba()
         if self.mapper.bad_imu:
             # Watchdog fired during mapping (`LocalMapping.cc:183-192`):
             # not enough motion to ever initialize the IMU — restart.
@@ -217,7 +227,13 @@ class System:
         if imu_measurements:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
-        out = self.tracker.process_stereo_frame(img_left, img_right, timestamp)
+        if self.tracker.camera2 is not None:  # stereo-fisheye rig (Frame.cc:1187)
+            out = self.tracker.process_stereo_fisheye_frame(
+                img_left, img_right, timestamp
+            )
+        else:
+            out = self.tracker.process_stereo_frame(img_left, img_right, timestamp)
+        self._tick_gba()
         if self.mapper.bad_imu:
             self.reset_active_map()
         return out
@@ -225,7 +241,17 @@ class System:
     def track_rgbd(self, img: np.ndarray, depth_map: np.ndarray, timestamp: float):
         """Ref `System::TrackRGBD` (`System.cc:265`)."""
         assert self.sensor == Sensor.RGBD
-        return self.tracker.process_rgbd_frame(img, depth_map, timestamp)
+        out = self.tracker.process_rgbd_frame(img, depth_map, timestamp)
+        self._tick_gba()
+        return out
+
+    def _tick_gba(self):
+        """Advance a background GBA by one chunk per frame — the
+        reference's concurrent GBA thread, time-sliced from the frame
+        loop (one extra async dispatch; tracking never blocks on it)."""
+        lc = self.loop_closer
+        if lc is not None and lc.gba_async is not None and lc.gba_async.running:
+            lc.gba_async.tick(self.store)
 
     @property
     def tracking_state(self) -> TrackState:

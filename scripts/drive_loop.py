@@ -72,6 +72,7 @@ def run(enable_loop: bool, imgs, poses, voc):
         slam.track_monocular(imgs[k], k / 20.0)
         if slam.tracking_state == TrackState.OK:
             n_tracked += 1
+    slam.shutdown()  # drains any in-flight background GBA (ref System.cc:474)
     ts, pos = slam.get_trajectory()
     gt = np.asarray([poses[int(round(t * 20))][1] for t in ts])
     err = ate_rmse(ts, pos, ts, gt, with_scale=True)

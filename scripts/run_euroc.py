@@ -131,6 +131,7 @@ def main():
             if os.environ.get("PROFILE"):
                 timing.print_report()
                 timing.reset()
+    slam.shutdown()  # drain any in-flight background GBA (ref System.cc:474)
     wall = time.perf_counter() - t0
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
 

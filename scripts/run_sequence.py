@@ -87,10 +87,14 @@ def main():
         "stereo": Sensor.STEREO,
         "rgbd": Sensor.RGBD,
     }[args.mode]
+    camera2 = None
+    if args.mode == "stereo" and settings.camera.params2 is not None:
+        camera2 = (settings.camera.params2, settings.camera.T_c1_c2,
+                   settings.camera.lapping1, settings.camera.lapping2)
     slam = System(
         sensor, settings.camera.model, settings.camera.params,
         (settings.camera.width, settings.camera.height),
-        orb_params=settings.orb, imu_calib=imu_calib,
+        orb_params=settings.orb, imu_calib=imu_calib, camera2=camera2,
         bf=settings.camera.bf, Kmax=args.kmax, Pmax=args.pmax,
     )
 
@@ -137,6 +141,7 @@ def main():
                 f"[{k}/{n}] state={slam.tracking_state.name} "
                 f"kfs={slam.n_keyframes} mps={slam.n_map_points}", flush=True,
             )
+    slam.shutdown()  # drain any in-flight background GBA (ref System.cc:474)
     wall = time.perf_counter() - t0
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
 
