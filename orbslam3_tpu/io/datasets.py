@@ -43,6 +43,17 @@ class ImageSequence:
             raise FileNotFoundError(self.paths_right[i])
         return img.astype(np.float32)
 
+    def read_depth(self, i: int) -> np.ndarray:
+        """Raw depth image (TUM RGB-D ships 16-bit PNGs; IMREAD_GRAYSCALE
+        would quantize them to 8 bits — ref reads CV_LOAD_IMAGE_UNCHANGED,
+        `rgbd_tum.cc:LoadImages`)."""
+        import cv2
+
+        img = cv2.imread(self.paths_right[i], cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(self.paths_right[i])
+        return img.astype(np.float32)
+
 
 @dataclass
 class ImuData:

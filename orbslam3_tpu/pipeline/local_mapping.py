@@ -901,6 +901,12 @@ class LocalMapper:
         order = ids[np.argsort(ts[ids])]
         if ts[order[-1]] - ts[order[0]] >= 10.0:
             return  # ref: watchdog only while mTinit < 10 s
+        if ts[order[-1]] - ts[order[-3]] < 0.45:
+            # The reference's KF cadence pre-init is ~2-5 Hz, so its
+            # 3-KF distance integrates ~0.5-1 s of motion. Ours can
+            # insert KFs on consecutive 20 Hz frames early in a map —
+            # 2 cm over 0.1 s would false-flag healthy sequences.
+            return
         last3 = jnp.asarray(order[-3:].astype(np.int32))
         R3, t3 = fetch(self.store.state.kf_R[last3], self.store.state.kf_t[last3])
         centers = np.einsum("kji,kj->ki", R3, -t3)  # Ow = -R^T t

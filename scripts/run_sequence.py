@@ -124,19 +124,20 @@ def main():
         ts = float(seq.timestamps[k])
         if args.mode == "mono-vi":
             hi = np.searchsorted(imu.timestamps, ts, side="right")
-            batch = (
-                imu.timestamps[cursor:hi], imu.gyro[cursor:hi], imu.acc[cursor:hi]
-            )
+            batch = [
+                (imu.timestamps[j], imu.acc[j], imu.gyro[j])
+                for j in range(cursor, hi)
+            ]
             cursor = hi
-            slam.track_monocular(seq.read(k), ts, imu_measurements=batch)
+            slam.track_monocular(seq.read(k), ts, imu_measurements=batch or None)
         elif args.mode == "stereo":
             slam.track_stereo(seq.read(k), seq.read_right(k), ts)
         elif args.mode == "rgbd":
-            depth = seq.read_right(k) / settings.camera.depth_map_factor
+            depth = seq.read_depth(k) / settings.camera.depth_map_factor
             slam.track_rgbd(seq.read(k), depth, ts)
         else:
             slam.track_monocular(seq.read(k), ts)
-        if k % 50 == 0:
+        if k % 50 == 0 or k == n - 1:
             print(
                 f"[{k}/{n}] state={slam.tracking_state.name} "
                 f"kfs={slam.n_keyframes} mps={slam.n_map_points}", flush=True,
