@@ -120,6 +120,7 @@ def solve_ba(
     point_damping: float = 1e-6,
     axis_name: str | None = None,
     point_axis_local: bool = False,
+    dense_schur: bool = False,
 ) -> BAResult:
     """LM bundle adjustment. `iters` ~ the reference's budgets
     (5+10 local `Optimizer.cc:1990-2012`, 10 global, 20 at init).
@@ -137,7 +138,25 @@ def solve_ba(
     collective at all; only the reduced camera system is `psum`'d. This
     is the state-scaling layout of `parallel/ba_sharded.py::
     solve_ba_point_sharded` (SURVEY §7 step 9: keyframe/map-point block
-    partitioning)."""
+    partitioning).
+
+    `dense_schur`: assemble the reduced camera system S = Hcc - W Hpp^-1
+    W^T EXPLICITLY (one segment-sum into (P,C) coupling blocks + one
+    MXU-shaped contraction) and solve the tiny dense 6Cx6C system, instead
+    of running `pcg_iters` matrix-free matvecs. Two wins: (a) on one chip
+    the whole Schur solve is ~3 device ops instead of ~10*pcg_iters tiny
+    gather/scatter ops inside a fori_loop — the LM iteration stops being
+    dispatch-bound; (b) distributed (`point_axis_local`), the ONLY
+    collective per LM iteration is one psum of (S, b_red) — 36C^2+6C
+    floats — where the matrix-free path psums every matvec
+    (g2o's sparse-Cholesky-on-host role, re-laid-out for the MXU).
+    Memory is O(P*C*18) for the coupling blocks — use for C up to ~128."""
+    if dense_schur:
+        return _solve_ba_dense(
+            model, params, prob, bf, iters, point_damping, axis_name,
+            point_axis_local,
+        )
+
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
 
@@ -159,22 +178,24 @@ def solve_ba(
         e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
             model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
         )
-        # Block Hessians.
-        Hcc = seg_cam(jnp.einsum("oij,oik->ojk", Jc_w, Jc_w))  # (C,6,6)
-        bc = -seg_cam(jnp.einsum("oij,oi->oj", Jc_w, e_w))  # (C,6)
+        # Point-block Hessians (local-complete when the point axis is
+        # sharded, so the damped inverse below is exact per shard).
         Hpp = seg_point(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w))  # (P,3,3)
         bp = -seg_point(jnp.einsum("oij,oi->oj", Jp_w, e_w))  # (P,3)
-
-        # Damping + degeneracy guards.
-        Hcc = Hcc + (lamb * jnp.abs(Hcc) * jnp.eye(6)[None] + 1e-8 * eye6[None])
-        Hcc = jnp.where(prob.cam_fixed[:, None, None], eye6[None], Hcc)
         Hpp = Hpp + (lamb * jnp.abs(Hpp) * jnp.eye(3)[None] + point_damping * eye3[None])
         Hpp_inv = lm.inv3x3(Hpp)
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)  # (P,3)
+        v0 = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])  # (O,3)
+
+        def _damp_cc(Hcc_raw):
+            H = Hcc_raw + (lamb * jnp.abs(Hcc_raw) * jnp.eye(6)[None] + 1e-8 * eye6[None])
+            return jnp.where(prob.cam_fixed[:, None, None], eye6[None], H)
+
+        Hcc = _damp_cc(seg_cam(jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)))
+        bc = -seg_cam(jnp.einsum("oij,oi->oj", Jc_w, e_w))  # (C,6)
         Hcc_inv = jnp.linalg.inv(Hcc)  # block-Jacobi preconditioner
 
         # Reduced RHS: b_red = bc - W Hpp^-1 bp.
-        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)  # (P,3)
-        v0 = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])  # (O,3)
         b_red = bc - seg_cam(jnp.einsum("oij,oi->oj", Jc_w, v0))
 
         def matvec(x):  # x: (C,6)
@@ -224,7 +245,160 @@ def solve_ba(
     return BAResult(cam_R=cam_R, cam_t=cam_t, points=points, obs_inlier=inlier, cost=cost)
 
 
+def _solve_ba_dense(
+    model, params, prob: BAProblem, bf, iters, point_damping,
+    axis_name, point_axis_local,
+) -> BAResult:
+    """Explicit-reduced-camera-system LM (the `dense_schur=True` path).
+
+    Per iteration: ONE linearization at the current candidate, whose
+    robust cost doubles as the accept/reject test for the PREVIOUS step
+    (deferred-accept LM — the classic evaluate-f-and-J-together
+    formulation), and ONE collective: a psum of the packed
+    (S, b_red, Hcc, cost). A rejected step re-damps the STORED base
+    linearization (S is tiny), exactly like g2o's LM re-try with raised
+    lambda (`optimization_algorithm_levenberg.cpp`). The point blocks
+    carry a fixed (lambda-independent) damping so S depends on lambda
+    only through its camera diagonal.
+
+    The Schur term is built as one MXU matmul: per-obs coupling blocks
+    W_o = Jp^T Jc scattered into (P,C,3,6), then
+    S_cross = reshape(W)^T-contract-(p,3)-reshape(Hpp^-1 W).
+    """
+    C = prob.cam_R.shape[0]
+    P = prob.points.shape[0]
+    dtype = prob.cam_R.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    diag_idx = jnp.arange(C)
+    fixed = prob.cam_fixed
+    obs_shared = axis_name is not None and not point_axis_local
+
+    def linearize_pack(cam_R, cam_t, points):
+        """Returns (S_und (C,6,C,6), b_red (C,6), Hcc (C,6,6),
+        bp (P,3), Hpp_inv (P,3,3), W (P,C,3,6), cost) — everything a
+        damped re-solve needs, reduced across shards in ONE psum."""
+        e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
+            model, params, bf, cam_R, cam_t, points, prob,
+            jnp.ones_like(prob.obs_valid),
+        )
+        cost_l = _robust_cost(chi2, ok, is_st)
+        seg = jax.ops.segment_sum
+        Hcc_l = seg(jnp.einsum("oij,oik->ojk", Jc_w, Jc_w), prob.obs_cam,
+                    num_segments=C)
+        bc_l = -seg(jnp.einsum("oij,oi->oj", Jc_w, e_w), prob.obs_cam,
+                    num_segments=C)
+        Hpp_l = seg(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w), prob.obs_point,
+                    num_segments=P)
+        bp_l = -seg(jnp.einsum("oij,oi->oj", Jp_w, e_w), prob.obs_point,
+                    num_segments=P)
+        pk = prob.obs_point * C + prob.obs_cam
+        W_l = seg(jnp.einsum("oia,oib->oab", Jp_w, Jc_w), pk,
+                  num_segments=P * C).reshape(P, C, 3, 6)
+        if obs_shared:
+            # Observations sharded, points replicated: the point-side
+            # partial sums must be global BEFORE Hpp^-1 — one (heavier)
+            # psum; everything after is computed redundantly per shard.
+            Hpp_g, bp, W, Hcc_g, bc_g, cost = jax.lax.psum(
+                (Hpp_l, bp_l, W_l, Hcc_l, bc_l, cost_l), axis_name
+            )
+        else:
+            Hpp_g, bp, W, Hcc_g, bc_g, cost = (
+                Hpp_l, bp_l, W_l, Hcc_l, bc_l, cost_l
+            )
+        # Lambda-INDEPENDENT point damping: absolute floor + small
+        # relative Tikhonov, so a rejected step can re-damp S without
+        # rebuilding the Schur term.
+        Hpp_d = Hpp_g + (point_damping + 1e-4 * jnp.abs(Hpp_g)) * eye3[None]
+        Hpp_inv = lm.inv3x3(Hpp_d)
+        HW = jnp.einsum("pij,pcjb->pcib", Hpp_inv, W)  # (P,C,3,6)
+        # Contract (p,3): one (6C x 3P)@(3P x 6C) matmul.
+        Wm = W.transpose(1, 3, 0, 2).reshape(C * 6, P * 3)
+        HWm = HW.transpose(0, 2, 1, 3).reshape(P * 3, C * 6)
+        S_cross = (Wm @ HWm).reshape(C, 6, C, 6)
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
+        b_red_l = bc_g - jnp.einsum("pcab,pa->cb", W, y0)
+        S_l = -S_cross
+        S_l = S_l.at[diag_idx, :, diag_idx, :].add(Hcc_g)
+        if obs_shared or axis_name is None:
+            S_und, b_red = S_l, b_red_l
+        else:
+            # Point-sharded layout: THE one collective per LM iteration.
+            pack = jnp.concatenate([
+                S_l.reshape(-1), b_red_l.reshape(-1), Hcc_g.reshape(-1),
+                cost[None],
+            ])
+            pack = jax.lax.psum(pack, axis_name)
+            n_s = C * 6 * C * 6
+            n_b = C * 6
+            S_und = pack[:n_s].reshape(C, 6, C, 6)
+            b_red = pack[n_s : n_s + n_b].reshape(C, 6)
+            Hcc_g = pack[n_s + n_b : n_s + n_b + C * 36].reshape(C, 6, 6)
+            cost = pack[-1]
+        return S_und, b_red, Hcc_g, bp, Hpp_inv, W, cost
+
+    def damped_step(lin, state, lamb):
+        S_und, b_red, Hcc_g, bp, Hpp_inv, W, _ = lin
+        cam_R, cam_t, points = state
+        damp = lamb * jnp.abs(Hcc_g) * eye6[None] + 1e-8 * eye6[None]
+        S_g = S_und.at[diag_idx, :, diag_idx, :].add(damp)
+        keep = (~fixed).astype(dtype)
+        S_g = S_g * keep[:, None, None, None] * keep[None, None, :, None]
+        S_g = S_g.at[diag_idx, :, diag_idx, :].add(
+            jnp.where(fixed, 1.0, 0.0)[:, None, None] * eye6[None]
+        )
+        S = S_g.reshape(C * 6, C * 6)
+        S = 0.5 * (S + S.T)
+        rhs = jnp.where(fixed[:, None], 0.0, b_red)
+        dc = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(C, 6)
+        dc = jnp.where(fixed[:, None], 0.0, dc)
+        # Back-substitute points through the stored coupling blocks.
+        tp = jnp.einsum("pcab,cb->pa", W, dc)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - tp)
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+        dR, dt = lie.exp_se3(dc)
+        R_new, t_new = lie.se3_compose(dR, dt, cam_R, cam_t)
+        R_new = lie.normalize_rotation(R_new)
+        R_new = jnp.where(fixed[:, None, None], cam_R, R_new)
+        t_new = jnp.where(fixed[:, None], cam_t, t_new)
+        return (R_new, t_new, points + dp)
+
+    base = (prob.cam_R, prob.cam_t, prob.points)
+    lin0 = linearize_pack(*base)
+    lam0 = jnp.asarray(1e-4, jnp.float32)
+    cand0 = damped_step(lin0, base, lam0)
+
+    def body(_, carry):
+        base, lin, lam, cand = carry
+        lin_c = linearize_pack(*cand)
+        accept = lin_c[-1] < lin[-1]
+        # lax.cond (not elementwise where): selects whole buffers — the
+        # carried linearization includes the (P,C,3,6) coupling blocks,
+        # which a where-blend would stream through memory twice per iter.
+        base, lin = jax.lax.cond(
+            accept, lambda: (cand, lin_c), lambda: (base, lin)
+        )
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        cand = damped_step(lin, base, lam)
+        return (base, lin, lam, cand)
+
+    base, lin, _, _ = jax.lax.fori_loop(0, iters, body, (base, lin0, lam0, cand0))
+    cam_R, cam_t, points = base
+    cost = lin[-1]
+    _, _, _, chi2, ok, is_st = _linearize(
+        model, params, bf, cam_R, cam_t, points, prob,
+        jnp.ones_like(prob.obs_valid),
+    )
+    gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    inlier = ok & (chi2 <= gate)
+    return BAResult(cam_R=cam_R, cam_t=cam_t, points=points,
+                    obs_inlier=inlier, cost=cost)
+
+
 solve_ba_jit = jax.jit(
     solve_ba,
-    static_argnames=("model", "iters", "pcg_iters", "axis_name", "point_axis_local"),
+    static_argnames=(
+        "model", "iters", "pcg_iters", "axis_name", "point_axis_local",
+        "dense_schur",
+    ),
 )

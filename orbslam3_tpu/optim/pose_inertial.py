@@ -280,8 +280,12 @@ def optimize_pose_inertial_last_frame(
         e, ok, _ = _vis_e(model, params, bf, Rcw, tcw, obs)
         w = jnp.where(ok & active, inv_sig * w_rob_sqrt, 0.0)
         e_vis = (e * w[:, None]).reshape(-1)
+        # The preintegration edge reads the LAST frame's bias vertices
+        # (ref `PoseInertialOptimizationLastFrame` setVertex(2,VGk)/
+        # setVertex(3,VAk), `Optimizer.cc:8319-8321`); the current frame's
+        # biases are linked only through the random-walk residual below.
         r_imu = imu_residual(
-            R1, p1, v1, bg2, ba2, R2, p2, v2,
+            R1, p1, v1, bg1, ba1, R2, p2, v2,
             pre.dR, pre.dV, pre.dP, pre.JRg, pre.JVg, pre.JVa,
             pre.JPg, pre.JPa, pre.bias_gyro, pre.bias_acc, pre.dT, g,
         )

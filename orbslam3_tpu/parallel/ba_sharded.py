@@ -63,10 +63,15 @@ def solve_ba_sharded(
 
     Returns the same result as the single-device solver (reductions are
     exact sums; only summation order differs)."""
-    axis = mesh.axis_names[0]
     n = mesh.devices.size
     prob = pad_obs(prob, n)
+    fn = _obs_sharded_program(model, mesh, bf, iters, pcg_iters)
+    return fn(jnp.asarray(params), prob)
 
+
+@functools.lru_cache(maxsize=32)
+def _obs_sharded_program(model, mesh: Mesh, bf: float, iters: int, pcg_iters: int):
+    axis = mesh.axis_names[0]
     obs_spec = ba_mod.BAProblem(
         cam_R=P(), cam_t=P(), cam_fixed=P(),
         points=P(), point_valid=P(),
@@ -74,21 +79,18 @@ def solve_ba_sharded(
         obs_sigma2=P(axis), obs_valid=P(axis),
     )
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(obs_spec,),
-        out_specs=ba_mod.BAResult(
-            cam_R=P(), cam_t=P(), points=P(), obs_inlier=P(axis), cost=P()
-        ),
-        check_vma=False,
-    )
-    def _run(p):
+    def _run(params, p):
         return ba_mod.solve_ba(
             model, params, p, bf=bf, iters=iters, pcg_iters=pcg_iters, axis_name=axis
         )
 
-    return jax.jit(_run)(prob)
+    return jax.jit(jax.shard_map(
+        _run, mesh=mesh, in_specs=(P(), obs_spec),
+        out_specs=ba_mod.BAResult(
+            cam_R=P(), cam_t=P(), points=P(), obs_inlier=P(axis), cost=P()
+        ),
+        check_vma=False,
+    ))
 
 
 def solve_ba_point_sharded(
@@ -99,13 +101,15 @@ def solve_ba_point_sharded(
     bf: float = 0.0,
     iters: int = 10,
     pcg_iters: int = 50,
+    dense_schur: bool = True,
 ) -> ba_mod.BAResult:
     """Distributed BA v2: the MAP-POINT axis is block-partitioned across
     the mesh (SURVEY §7 step 9). Each device owns P/n point states, their
     Hpp blocks, AND every observation of its points — so all point-block
     reductions (Hpp, bp, both point segment-sums of the PCG matvec) are
-    shard-local with NO collective; the only communication is one `psum`
-    of the reduced camera system per matvec/RHS. Unlike
+    shard-local with NO collective; with `dense_schur` (default) the only
+    communication is ONE `psum` of the explicit reduced camera system
+    (S, b_red) per LM iteration — not one per PCG matvec. Unlike
     `solve_ba_sharded` (observations sharded, state replicated) this
     scales map-point MEMORY with devices, which is what a 2-host Atlas
     needs; camera state stays replicated (it is tiny: 9+3 floats/KF).
@@ -115,7 +119,8 @@ def solve_ba_point_sharded(
     n = mesh.devices.size
     prob_s, dst, fill, Pn = prep_point_sharded(prob, n)
     res = run_point_sharded(
-        model, params, prob_s, mesh, bf=bf, iters=iters, pcg_iters=pcg_iters
+        model, params, prob_s, mesh, bf=bf, iters=iters, pcg_iters=pcg_iters,
+        dense_schur=dense_schur,
     )
     # Back to caller order: points are block-partitioned in order; the
     # observation inlier mask is scattered through the bucket permutation.
@@ -181,24 +186,34 @@ def point_sharded_specs(axis: str):
     return in_spec, out_spec
 
 
+@functools.lru_cache(maxsize=32)
+def _point_sharded_program(model, mesh: Mesh, bf: float, iters: int,
+                           pcg_iters: int, dense_schur: bool):
+    """Build + cache the jitted point-sharded program PER CONFIG — a fresh
+    closure every call would defeat jit's trace cache and recompile each
+    invocation (params rides as a traced argument)."""
+    axis = mesh.axis_names[0]
+    in_spec, out_spec = point_sharded_specs(axis)
+
+    def _run(params, p):
+        return ba_mod.solve_ba(
+            model, params, p, bf=bf, iters=iters, pcg_iters=pcg_iters,
+            axis_name=axis, point_axis_local=True, dense_schur=dense_schur,
+        )
+
+    return jax.jit(jax.shard_map(
+        _run, mesh=mesh, in_specs=(P(), in_spec), out_specs=out_spec,
+        check_vma=False,
+    ))
+
+
 def run_point_sharded(
     model, params, prob_s: ba_mod.BAProblem, mesh: Mesh,
     bf: float = 0.0, iters: int = 10, pcg_iters: int = 50,
+    dense_schur: bool = True,
 ) -> ba_mod.BAResult:
     """The device program of the point-partitioned solve (inputs already
     laid out by `prep_point_sharded`; works with global arrays in
     multi-process meshes — the DCN case — since all host prep is done)."""
-    axis = mesh.axis_names[0]
-    in_spec, out_spec = point_sharded_specs(axis)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
-        check_vma=False,
-    )
-    def _run(p):
-        return ba_mod.solve_ba(
-            model, params, p, bf=bf, iters=iters, pcg_iters=pcg_iters,
-            axis_name=axis, point_axis_local=True,
-        )
-
-    return jax.jit(_run)(prob_s)
+    fn = _point_sharded_program(model, mesh, bf, iters, pcg_iters, dense_schur)
+    return fn(jnp.asarray(params), prob_s)

@@ -91,7 +91,13 @@ class AsyncGBA:
         self._valid0_mp = np.asarray(s.mp_valid).copy()
         self._first0 = np.asarray(s.mp_first_kf).copy()
         self._ts0 = store.kf_ts.copy()
-        self._store_id = id(store)
+        # Weak identity: after reset/merge the old MapStore may be GC'd
+        # and a new one can reuse the same CPython id, so a raw id()
+        # check could pass against a different map. A weakref is only
+        # alive while THE snapshotted store object is.
+        import weakref
+
+        self._store_ref = weakref.ref(store)
         self._R0 = s.kf_R  # device; only read at finish
         self._t0 = s.kf_t
 
@@ -107,7 +113,7 @@ class AsyncGBA:
         and its result was folded into `store`."""
         if not self.running:
             return False
-        if id(store) != self._store_id:
+        if self._store_ref() is not store:
             # The active map changed under us (reset / multi-map merge):
             # the snapshot no longer corresponds — drop the solve.
             self.abort()
@@ -172,10 +178,12 @@ class AsyncGBA:
             a = first_now[p]
             if a < 0 or not valid_kf[a]:
                 continue
-            if in_gba[a]:  # born before the snapshot KF moved: old->GBA pose
-                Ra_old, ta_old = R0[a], t0[a]
-            else:  # born at a mid-flight KF: its pose was propagated above
-                Ra_old, ta_old = Rc[a], tc[a]
+            # Anchor's CURRENT pre-correction pose — the reference's
+            # mTcwBefGBA, saved immediately before applying the
+            # correction (`LoopClosing.cc` RunGlobalBundleAdjustment):
+            # the point was born relative to wherever local BA has moved
+            # the anchor SINCE the snapshot, not the snapshot pose.
+            Ra_old, ta_old = Rc[a], tc[a]
             Xc = Ra_old @ newp[p] + ta_old  # anchor cam frame (pre-correction)
             newp[p] = newR[a].T @ (Xc - newt[a])
         store.state = s._replace(

@@ -307,7 +307,11 @@ def local_ba(
         obs_cam=obs_cam, obs_point=obs_pt, obs_uv=obs_uv, obs_ur=obs_ur,
         obs_sigma2=obs_s2, obs_valid=obs_valid,
     )
-    res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters, pcg_iters=pcg_iters)
+    # Explicit reduced camera system: at window size C<=32 the dense
+    # 6Cx6C solve turns ~10*pcg_iters tiny matvec ops into 3 MXU ops —
+    # the LBA stops being dispatch-bound (see optim/ba.py dense_schur).
+    res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters,
+                          dense_schur=True)
 
     # Write back: window poses + window points.
     Wn = window_ids.shape[0]
@@ -441,6 +445,11 @@ class LocalMapper:
         return self.imu_init is not None and self.imu_init.initialized
 
     def process_keyframe(self, kf_id: int, initial: bool = False, preint=None):
+        """One full mapping pass, host-sequenced (the synchronous path).
+        The same pass runs sliced across frames by `async_mapping.
+        AsyncMapper`, which calls the `stage_*` methods below one per
+        frame tick — the TPU-native form of the reference's LocalMapping
+        thread (`LocalMapping::Run`, `LocalMapping.cc:96`)."""
         if preint is not None:
             self.preints[kf_id] = preint
         if initial:
@@ -448,6 +457,11 @@ class LocalMapper:
             # (`GlobalBundleAdjustemnt(20)`, Tracking.cc:1948).
             self._global_ba_small(kf_id)
             return
+        for stage in self.STAGES:
+            stage(self, kf_id)
+
+    # -- mapping pass stages (order = `LocalMapping::Run` `:117-280`) ----
+    def stage_prepare(self, kf_id: int):
         # Covisibility snapshot for this keyframe's whole mapping pass
         # (the reference computes UpdateConnections once per KF in
         # ProcessNewKeyFrame, `LocalMapping.cc:357`, and the later stages
@@ -456,37 +470,38 @@ class LocalMapper:
         self._covis_pin = (kf_id, self.store.covisibility_np())
         with timing.span("mapping/cull_points"):
             self._cull_points(kf_id)
+
+    def stage_triangulate(self, kf_id: int):
         with timing.span("mapping/triangulate"):
             self._create_new_points(kf_id)
+
+    def stage_fuse(self, kf_id: int):
         with timing.span("mapping/fuse"):
             self._fuse_neighbors(kf_id)
+
+    def stage_ba(self, kf_id: int):
+        if getattr(self, "interrupt_ba", False):
+            # `LocalMapping::InterruptBA` (`LocalMapping.h:64`): tracking
+            # wants a keyframe in NOW — skip this pass's local BA.
+            return
         with timing.span("mapping/local_ba"):
             if self.imu_initialized:
                 self._local_inertial_ba(kf_id)
             else:
                 self._local_ba(kf_id)
+
+    def stage_maintain(self, kf_id: int):
         with timing.span("mapping/cull_keyframes"):
             self._cull_keyframes(kf_id)
         if self.imu_init is not None and not self.imu_init.initialized:
             self._try_imu_init(kf_id)
             if not self.imu_init.initialized:
                 self._imu_watchdog(kf_id)
-        elif self.imu_init is not None and kf_id % 10 == 0:
-            # Periodic scale/gravity refinement (`ScaleRefinement`,
-            # `LocalMapping.cc:261-273`).
-            self.imu_init.applied_transform = None
-            self.imu_init.refine_scale(
-                self.store, self.preints,
-                np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
-            )
-            if self.tracker is not None:
-                if self.imu_init.applied_transform is not None:
-                    self.tracker.apply_map_transform(*self.imu_init.applied_transform)
-                s = self.store.state
-                kf_j = jnp.asarray(kf_id)
-                self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
-                self.tracker.bias_g = np.asarray(s.kf_bias_g[kf_j])
-                self.tracker.bias_a = np.asarray(s.kf_bias_a[kf_j])
+        elif self.imu_init is not None:
+            self._viba_staging(kf_id)
+
+    STAGES = (stage_prepare, stage_triangulate, stage_fuse, stage_ba,
+              stage_maintain)
 
     # ------------------------------------------------------------------
     def _covisible(self, kf_id: int, n: int) -> np.ndarray:
@@ -926,13 +941,15 @@ class LocalMapper:
             np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
         )
         if ok:
-            # VIBA1 (`LocalMapping.cc:232-242` / `FullInertialBA`): joint
-            # visual-inertial BA right after alignment — the reprojection
-            # terms let poses bend to the IMU, sharpening scale/gravity
-            # well beyond the pose-fixed initializer.
+            # The init-time FullInertialBA (`LocalMapping.cc:1585-1587`,
+            # priorG=1e2/priorA=1e6): joint visual-inertial BA right after
+            # alignment — the reprojection terms let poses bend to the
+            # IMU, sharpening scale/gravity well beyond the pose-fixed
+            # initializer. VIBA1/VIBA2 follow at 5 s / 15 s via
+            # `_viba_staging`.
             import os as _os
             if not _os.environ.get("NO_VIBA1"):
-                self._local_inertial_ba(kf_id, window=min(self.store.n_kf, 24))
+                self._full_inertial_ba(kf_id, prior_gyro=1e2, prior_acc=1e6)
         if ok and self.tracker is not None:
             if self.imu_init.applied_transform is not None:
                 self.tracker.apply_map_transform(*self.imu_init.applied_transform)
@@ -953,7 +970,65 @@ class LocalMapper:
                     flush=True,
                 )
 
-    def _local_inertial_ba(self, kf_id: int, window: int = 10):
+    def _viba_staging(self, kf_id: int):
+        """Post-init inertial refinement staging (`LocalMapping.cc:232-273`):
+
+        * VIBA1 at mTinit > 5 s — full-map VI-BA with priorG=1, priorA=1e5
+          (`InitializeIMU(1.f, 1e5, true)` -> `FullInertialBA`,
+          `Optimizer.cc:473`),
+        * VIBA2 at mTinit > 15 s — priors released (priorG=priorA=0),
+        * mono: `ScaleRefinement` every ~10 s while 25 s < mTinit < 75 s
+          (`LocalMapping.cc:261-273`).
+        """
+        ini = self.imu_init
+        valid = np.asarray(self.store.state.kf_valid)[: self.store.n_kf]
+        ids = np.flatnonzero(valid)
+        if len(ids) < 3:
+            return
+        now = float(self.store.kf_ts[kf_id])
+        tinit = now - float(self.store.kf_ts[ids].min())
+        if not ini.viba1_done and tinit > 5.0:
+            self._full_inertial_ba(kf_id, prior_gyro=1.0, prior_acc=1e5)
+            ini.viba1_done = True
+        elif ini.viba1_done and not ini.viba2_done and tinit > 15.0:
+            self._full_inertial_ba(kf_id, prior_gyro=0.0, prior_acc=0.0)
+            ini.viba2_done = True
+        elif (
+            ini.mono
+            and ini.viba2_done
+            and 25.0 < tinit < 75.0
+            and now - getattr(self, "_last_scale_ref_ts", -1e18) >= 10.0
+        ):
+            self._last_scale_ref_ts = now
+            ini.applied_transform = None
+            ini.refine_scale(
+                self.store, self.preints,
+                np.asarray(self.imu_calib.Rbc), np.asarray(self.imu_calib.tbc),
+            )
+            if self.tracker is not None:
+                if ini.applied_transform is not None:
+                    self.tracker.apply_map_transform(*ini.applied_transform)
+                s = self.store.state
+                kf_j = jnp.asarray(kf_id)
+                self.tracker.body_vel = np.asarray(s.kf_vel[kf_j])
+                self.tracker.bias_g = np.asarray(s.kf_bias_g[kf_j])
+                self.tracker.bias_a = np.asarray(s.kf_bias_a[kf_j])
+
+    def _full_inertial_ba(self, kf_id: int, prior_gyro: float, prior_acc: float):
+        """Whole-map VI-BA (`Optimizer::FullInertialBA`, `Optimizer.cc:473`):
+        the temporal chain from the current KF back to the map origin,
+        bucketed to a multiple of 16 so the handful of staging calls share
+        compiled executables."""
+        n_live = self.store.n_kf - len(self.store.free_kf_slots)
+        window = max(16 * ((n_live + 15) // 16), 16)
+        self._local_inertial_ba(
+            kf_id, window=window, prior_gyro=prior_gyro, prior_acc=prior_acc,
+            iters=10,
+        )
+
+    def _local_inertial_ba(self, kf_id: int, window: int = 10,
+                           prior_gyro: float = 1e2, prior_acc: float = 1e6,
+                           iters: int = 6):
         """`Optimizer::LocalInertialBA` (`Optimizer.cc:4753`): temporal
         sliding window of the last Nd KFs + one fixed anchor; visual obs of
         window points + IMU chain + bias RW."""
@@ -1044,7 +1119,10 @@ class LocalMapper:
             edges=edges,
         )
 
-        res = vi.solve_vi_ba_jit(self.model, self.params, prob, iters=6, pcg_iters=40)
+        res = vi.solve_vi_ba_jit(
+            self.model, self.params, prob, iters=iters, pcg_iters=40,
+            prior_gyro=prior_gyro, prior_acc=prior_acc,
+        )
 
         # Write back: body -> camera poses, velocities, biases, points.
         newR = np.asarray(res.state.R)

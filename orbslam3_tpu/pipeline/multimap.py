@@ -81,6 +81,8 @@ class MultiMapManager:
     def _create_map(self):
         new_store = self.atlas.create_new_map()
         sysm = self.system
+        if sysm.async_mapper is not None:
+            sysm.async_mapper.abort()  # in-flight pass keyed to the old map
         sysm.store = new_store
         sysm.tracker.store = new_store
         sysm.mapper.store = new_store
@@ -175,6 +177,11 @@ class MultiMapManager:
         return True
 
     def _do_merge(self, act: st.MapStore, target: st.MapStore, R, t, s):
+        sysm0 = self.system
+        if sysm0.async_mapper is not None:
+            # Ref `MergeLocal` stops LocalMapping before welding
+            # (`LoopClosing.cc:1348`); queued pass kf-ids get remapped.
+            sysm0.async_mapper.flush()
         pre_merge_points = np.asarray(target.state.mp_valid).copy()
         kf_remap, mp_remap = map_merging.merge_maps(target, act, R, t, s)
         sysm = self.system

@@ -251,6 +251,7 @@ def _track_step(
     ref_kf,                             # stage 1b anchor (int device)
     R_last, t_last,                     # fallback initial pose
     scale_table, sigma2_table, img_wh,
+    min_obs,                            # NeedNewKeyFrame nMinObs (device)
     ur=None, bf=0.0, n_levels: int = 8,
 ):
     """The whole two-stage visual tracking of one frame as ONE device
@@ -331,11 +332,18 @@ def _track_step(
         state, visible, assoc_final
     )
 
-    # Reference-KF tracked count for NeedNewKeyFrame (`Tracking.cc:2577`).
+    # Reference-KF tracked count for NeedNewKeyFrame: the reference
+    # counts only map points with >= nMinObs observations
+    # (`KeyFrame::TrackedMapPoints`, called at `Tracking.cc:2612`).
     new_ref = jnp.where(local_pad[0] >= 0, local_pad[0], jnp.clip(ref_kf, 0))
-    ref_matches = jnp.sum(
-        (state.kf_mp[new_ref] >= 0) & state.kf_feat_valid[new_ref]
-    )
+    all_mp = state.kf_mp
+    obs_ok = (all_mp >= 0) & state.kf_feat_valid & state.kf_valid[:, None]
+    obs_count = jnp.zeros((state.Pmax,), jnp.int32).at[
+        jnp.clip(all_mp, 0)
+    ].add(obs_ok.astype(jnp.int32))
+    row = state.kf_mp[new_ref]
+    row_ok = (row >= 0) & state.kf_feat_valid[new_ref]
+    ref_matches = jnp.sum(row_ok & (obs_count[jnp.clip(row, 0)] >= min_obs))
 
     bundle = dict(
         ok1=ok1, used_a=use_a, n_a=n_a, n_b=n_b,
@@ -394,6 +402,7 @@ class Tracker:
         bf: float = 0.0,
         imu_calib=None,  # ops.imu.ImuCalib for inertial modes
         camera2=None,  # (params2, T_lr 4x4, lapping1, lapping2) stereo-fisheye
+        fps: float = 20.0,  # camera rate (ref Camera.fps -> mMaxFrames)
     ):
         self.model = model
         self.params = params
@@ -450,6 +459,20 @@ class Tracker:
         self.trajectory = []  # (ts, Rwc, twc)
         self.new_kf_callback = None  # set by System: runs local mapping
         self.match_inliers = 0
+        # --- NeedNewKeyFrame policy state (ref `Tracking.cc:2577-2715`) --
+        self.max_frames = max(1, int(round(fps)))  # ref mMaxFrames = fps
+        self.min_frames = 0  # ref mMinFrames
+        self.time_recently_lost = 5.0  # ref time_recently_lost (Tracking.cc:62)
+        self.time_lost: Optional[float] = None  # ref mTimeStampLost
+        self.last_reloc_frame_id = -(10**9)  # ref mnLastRelocFrameId
+        self.last_kf_frame_id = -(10**9)  # ref mnLastKeyFrameId
+        self.is_stereo_like = False  # stereo/RGB-D (set by System/entry)
+        # Mapper-idle signal for c1b and the insert-vs-interrupt decision
+        # (ref `LocalMapping::AcceptKeyFrames` / `InterruptBA`). The sync
+        # mapper is always idle; the async executor wires these.
+        self.mapper_idle_query = None  # callable -> bool
+        self.mapping_interrupt = None  # callable (InterruptBA analog)
+        self.mapping_queue_len = None  # callable -> int (KeyframesInQueue)
 
         # --- inertial plumbing (ref Tracking.cc:621-850) ---------------
         self.imu_calib = imu_calib
@@ -488,6 +511,9 @@ class Tracker:
         self.frames_since_kf = 0
         self.lost_count = 0
         self.match_inliers = 0
+        self.time_lost = None
+        self.last_reloc_frame_id = -(10**9)
+        self.last_kf_frame_id = -(10**9)
         self.imu_ready = False
         self.pre_from_kf = None
         self.pre_frame = None
@@ -738,31 +764,100 @@ class Tracker:
                     else imu_ops.merge(self.pre_from_kf, self.pre_frame, self.imu_calib)
                 )
 
+        publish_anyway = False
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             if cur.ur is not None:
                 self._initialize_stereo(cur)
             else:
                 self._initialize_mono(cur)
         else:
-            relocalized = False
-            if self.state in (TrackState.RECENTLY_LOST, TrackState.LOST):
-                # `Tracking::Relocalization` (Tracking.cc:3248).
-                relocalized = self._relocalize(cur)
-                if relocalized:
-                    self.velocity = None
-            ok = self._track(cur, have_pose=relocalized)
+            ok, publish_anyway = self._track_state_machine(cur)
             if ok:
                 self.state = TrackState.OK
                 self.lost_count = 0
             else:
                 self.lost_count += 1
-                self.state = (
-                    TrackState.RECENTLY_LOST if self.lost_count < 20 else TrackState.LOST
-                )
-        if self.state == TrackState.OK:
+        if self.state == TrackState.OK or publish_anyway:
             self._record_pose(cur.timestamp, cur.R, cur.t)
         self.last_frame = cur
         return cur
+
+    def _track_state_machine(self, cur: fr.FrameData):
+        """One tracked frame through the reference's state machine
+        (`Tracking::Track` `Tracking.cc:1100-1290,1370-1400`). Returns
+        (ok, publish_anyway): `publish_anyway` marks an IMU dead-reckoned
+        pose that goes to the trajectory even though tracking failed
+        (ref keeps publishing `mCurrentFrame.mTcw` while RECENTLY_LOST)."""
+        inertial = self.imu_calib is not None
+        if self.state == TrackState.OK:
+            if self._track(cur):
+                return True, False
+            # Failure out of OK (`Tracking.cc:1177-1196`): grace period
+            # only for a usable map.
+            if self.store.n_kf > 10 and (not inertial or self.imu_ready):
+                self.state = TrackState.RECENTLY_LOST
+                self.time_lost = cur.timestamp
+            else:
+                self.state = TrackState.LOST
+            return False, False
+
+        if self.state == TrackState.RECENTLY_LOST:
+            if inertial and self.imu_ready:
+                # IMU dead-reckoning (`Track:1210-1225`): predict with the
+                # preintegrated gap, keep publishing poses, and try to
+                # re-attach to the map through the normal two-stage track
+                # each frame.
+                published = False
+                if self.pre_frame is not None and self.last_frame is not None:
+                    from orbslam3_tpu.pipeline import inertial_support as isup
+
+                    last = self.last_frame
+                    R_wb, p_wb = isup.cam_to_body(
+                        last.R, last.t, self.Rbc, self.tbc
+                    )
+                    R1, v1, p1 = isup.predict_state(
+                        R_wb, p_wb, self.body_vel, self.bias_g, self.bias_a,
+                        self.pre_frame,
+                    )
+                    Rp, tp = isup.body_to_cam(R1, p1, self.Rbc, self.tbc)
+                    cur.R = np.asarray(Rp, np.float32)
+                    cur.t = np.asarray(tp, np.float32)
+                    self.body_vel = np.asarray(v1, np.float32)
+                    published = True
+                if self._track(cur, have_pose=published):
+                    return True, False
+                if (
+                    self.time_lost is not None
+                    and cur.timestamp - self.time_lost > self.time_recently_lost
+                ):
+                    self.state = TrackState.LOST  # `Track:1221` 5 s cap
+                    return False, False
+                return False, published
+            # Visual (or IMU not yet initialized): relocalize each frame;
+            # LOST once the grace window expires. (The reference V0.2
+            # drops to LOST on the FIRST reloc miss, `Track:1230-1238`;
+            # we keep its own 5 s constant as the window — strictly more
+            # forgiving, matching upstream V1.0 behavior.)
+            if self._relocalize(cur):
+                self.velocity = None
+                self.last_reloc_frame_id = cur.frame_id
+                if self._track(cur, have_pose=True):
+                    return True, False
+            if (
+                self.time_lost is None
+                or cur.timestamp - self.time_lost > self.time_recently_lost
+            ):
+                self.state = TrackState.LOST
+            return False, False
+
+        # LOST: System/multimap will reset or start a fresh map
+        # (`Track:1239-1257`); still attempt relocalization meanwhile.
+        if self._relocalize(cur):
+            self.velocity = None
+            self.last_reloc_frame_id = cur.frame_id
+            if self._track(cur, have_pose=True):
+                return True, False
+        return False, False
 
     # -- initialization --------------------------------------------------
     def _initialize_stereo(self, cur: fr.FrameData, min_features: int = 300):
@@ -813,6 +908,7 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.frames_since_kf = 0
+        self.last_kf_frame_id = cur.frame_id
         # (pose recorded by the caller's state==OK path; recording here
         # too duplicated the init frame's trajectory entry)
         self.init_frame = None
@@ -922,6 +1018,7 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.frames_since_kf = 0
+        self.last_kf_frame_id = cur.frame_id
         self._record_pose(ref.timestamp, np.eye(3), np.zeros(3))
         self.init_frame = None
 
@@ -978,6 +1075,7 @@ class Tracker:
                 jnp.asarray(self.ref_kf),
                 jnp.asarray(R_last), jnp.asarray(t_last),
                 self.scale_table, self.sigma2_table, jnp.asarray(self.img_wh),
+                jnp.asarray(3 if self.store.n_kf > 2 else 2, jnp.int32),
                 ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
                 bf=self.bf, n_levels=self.orb.n_levels,
             )
@@ -1169,10 +1267,36 @@ class Tracker:
         return top.astype(np.int32)
 
     def _need_new_keyframe(self, cur: fr.FrameData, n_inl: int) -> bool:
-        """Simplified `NeedNewKeyFrame` (`Tracking.cc:2577`): reference
-        ratio rule (90% of ref-KF tracked points) + min/max frame gaps."""
+        """Full `NeedNewKeyFrame` policy (`Tracking.cc:2577-2715`):
+        pre-IMU-init 4 Hz cadence, reloc gate, c1a/b/c frame gates,
+        close-point rule for stereo/RGB-D, ratio rule with per-sensor
+        thresholds, inertial 0.5 s cadence cap (c3), weak-tracking c4,
+        and the mapper-idle insert-vs-interrupt decision."""
         if self.ref_kf < 0:
             return False
+        inertial = self.imu_calib is not None
+        # Before IMU init: fixed 4 Hz cadence feeds the initializer
+        # (`Tracking.cc:2579-2588`).
+        if inertial and not self.imu_ready:
+            if self.last_kf_id < 0:
+                return False
+            return (
+                cur.timestamp - float(self.store.kf_ts[self.last_kf_id])
+            ) >= 0.25
+
+        idle = (
+            True
+            if self.mapper_idle_query is None
+            else bool(self.mapper_idle_query())
+        )
+        nkf = self.store.n_kf - len(getattr(self.store, "free_kf_slots", []))
+        # Not long enough since the last relocalization (`:2604-2607`).
+        if (
+            cur.frame_id < self.last_reloc_frame_id + self.max_frames
+            and nkf > self.max_frames
+        ):
+            return False
+
         ref_matches = getattr(self, "_ref_matches_cache", None)
         if ref_matches is None:  # legacy path (reloc etc.): one fetch
             s = self.store.state
@@ -1180,9 +1304,61 @@ class Tracker:
             ref_matches = int(
                 np.asarray(((s.kf_mp[rk] >= 0) & s.kf_feat_valid[rk]).sum())
             )
-        c1 = self.frames_since_kf >= 10  # ref: mMaxFrames (fps)
-        c2 = (n_inl < ref_matches * 0.9) and self.frames_since_kf >= 1
-        return (c1 or c2) and n_inl >= 15
+
+        # Close-point census for stereo/RGB-D (`:2620-2641`); cur.depth is
+        # already close-gated at frame build (far points hold -1).
+        need_close = False
+        mono_like = not self.is_stereo_like
+        if not mono_like and cur.depth is not None:
+            close = cur.depth > 0
+            tracked_close = int(np.sum(close & (cur.mp_assoc >= 0)))
+            untracked_close = int(np.sum(close & (cur.mp_assoc < 0)))
+            need_close = (tracked_close < 100) and (untracked_close > 70)
+
+        # Per-sensor reference ratio (`:2643-2658`).
+        if mono_like and not inertial:
+            th_ratio = 0.9
+        else:
+            th_ratio = 0.75
+        if nkf < 2:
+            th_ratio = 0.4
+        if self.camera2 is not None:
+            th_ratio = 0.75
+        if inertial and mono_like:
+            th_ratio = 0.75 if n_inl > 350 else 0.9
+
+        c1a = cur.frame_id >= self.last_kf_frame_id + self.max_frames
+        c1b = (cur.frame_id >= self.last_kf_frame_id + self.min_frames) and idle
+        c1c = (not mono_like and not inertial) and (
+            n_inl < ref_matches * 0.25 or need_close
+        )
+        c2 = ((n_inl < ref_matches * th_ratio) or need_close) and n_inl > 15
+        # Inertial temporal cap: a KF at least every 0.5 s (`:2670-2683`).
+        c3 = False
+        if inertial and self.imu_ready and self.last_kf_id >= 0:
+            c3 = (
+                cur.timestamp - float(self.store.kf_ts[self.last_kf_id])
+            ) >= 0.5
+        # Weak mono-inertial tracking / recovery from RECENTLY_LOST
+        # (`:2685-2689`).
+        c4 = (
+            inertial
+            and mono_like
+            and ((15 < n_inl < 75) or self.state == TrackState.RECENTLY_LOST)
+        )
+
+        if not (((c1a or c1b or c1c) and c2) or c3 or c4):
+            return False
+        if idle:
+            return True
+        # Mapper busy: interrupt its BA; only stereo-like sensors queue
+        # (`:2694-2713`).
+        if self.mapping_interrupt is not None:
+            self.mapping_interrupt()
+        if not mono_like:
+            q = 0 if self.mapping_queue_len is None else int(self.mapping_queue_len())
+            return q < 3
+        return False
 
     def _create_keyframe(self, cur: fr.FrameData):
         """`CreateNewKeyFrame` (`Tracking.cc:2716`)."""
@@ -1209,6 +1385,7 @@ class Tracker:
         self.ref_kf = slot
         self.last_kf_id = slot
         self.frames_since_kf = 0
+        self.last_kf_frame_id = cur.frame_id
         slot_j = jnp.asarray(slot)
         preint = self.pre_from_kf
         self.pre_from_kf = None

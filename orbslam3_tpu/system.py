@@ -46,6 +46,7 @@ class System:
         camera2=None,  # (params2, Tlr, lapping1, lapping2) — stereo fisheye
         Kmax: int = 256,
         Pmax: int = 16384,
+        fps: float = 20.0,
     ):
         self.sensor = sensor
         inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
@@ -56,6 +57,10 @@ class System:
         self.tracker = Tracker(
             camera_model, params, img_wh, self.store, orb_params, bf=bf,
             imu_calib=imu_calib if inertial else None, camera2=camera2,
+            fps=fps,
+        )
+        self.tracker.is_stereo_like = sensor in (
+            Sensor.STEREO, Sensor.RGBD, Sensor.IMU_STEREO,
         )
         self.mapper = LocalMapper(
             camera_model, params, img_wh, self.store, orb_params, bf=bf,
@@ -63,11 +68,36 @@ class System:
             mono=sensor == Sensor.IMU_MONOCULAR,
         )
         self.mapper.tracker = self.tracker
-        self.tracker.new_kf_callback = self.mapper.process_keyframe
+        self.tracker.new_kf_callback = self._on_new_keyframe
         self.tracker.anomaly_cb = self._on_timestamp_anomaly
         self.loop_closer = None
         self.multimap = None
+        self.async_mapper = None
+        # Post-mapping consumers (loop closing, multi-map): the reference's
+        # LocalMapping -> LoopClosing hand-off (`LocalMapping.cc:280`) —
+        # they see a keyframe only after its mapping pass completed.
+        self._kf_downstream = []
         self._shutdown = False
+
+    def _on_new_keyframe(self, slot, initial=False, preint=None):
+        if self.async_mapper is not None:
+            self.async_mapper.submit(slot, initial=initial, preint=preint)
+            return
+        self.mapper.process_keyframe(slot, initial=initial, preint=preint)
+        for d in self._kf_downstream:
+            d(slot)
+
+    def enable_async_mapping(self):
+        """Overlap mapping with tracking (ref: LocalMapping as its own
+        thread, `System.cc:138`): the per-KF mapping pass runs sliced one
+        stage per tracked frame instead of synchronously inside the
+        keyframe-inserting frame. See `pipeline/async_mapping.py`."""
+        from orbslam3_tpu.pipeline.async_mapping import AsyncMapper
+
+        self.async_mapper = AsyncMapper(self.mapper, self._kf_downstream)
+        self.tracker.mapper_idle_query = self.async_mapper.idle
+        self.tracker.mapping_interrupt = self.async_mapper.interrupt
+        self.tracker.mapping_queue_len = self.async_mapper.queue_len
 
     def enable_multimap(self, vocabulary, **kw):
         """Atlas multi-map mode (ref `Tracking::CreateMapInAtlas` +
@@ -76,13 +106,7 @@ class System:
         from orbslam3_tpu.pipeline.multimap import MultiMapManager
 
         self.multimap = MultiMapManager(self, vocabulary, **kw)
-        inner = self.tracker.new_kf_callback
-
-        def chained(slot, initial=False, preint=None):
-            inner(slot, initial=initial, preint=preint)
-            self.multimap.on_new_keyframe(slot)
-
-        self.tracker.new_kf_callback = chained
+        self._kf_downstream.append(self.multimap.on_new_keyframe)
 
     def enable_place_recognition(self, vocabulary, run_gba: bool = True,
                                  min_bow_matches: int = 20, min_sim3_inliers: int = 20,
@@ -114,13 +138,7 @@ class System:
                 self.tracker.model, self.tracker.params,
                 self.tracker.sigma2_table, bf=self.tracker.bf,
             )
-        mapper_cb = self.mapper.process_keyframe
-
-        def chained(slot, initial=False, preint=None):
-            mapper_cb(slot, initial=initial, preint=preint)
-            self.loop_closer.process_keyframe(slot)
-
-        self.tracker.new_kf_callback = chained
+        self._kf_downstream.append(self.loop_closer.process_keyframe)
 
     # -- control surface (ref `System.h:102-178`) ----------------------
     def activate_localization_mode(self):
@@ -160,14 +178,18 @@ class System:
 
     def shutdown(self):
         """Ref `System::Shutdown` (`System.cc:474`): finish background
-        work (async GBA joins here once dispatched) and refuse further
+        work (mapping passes drain, async GBA joins) and refuse further
         frames."""
+        if self.async_mapper is not None:
+            self.async_mapper.flush()
         lc = self.loop_closer
         if lc is not None and lc.gba_async is not None:
             lc.gba_async.join(self.store)
         self._shutdown = True
 
     def _swap_fresh_store(self):
+        if self.async_mapper is not None:
+            self.async_mapper.abort()  # in-flight kf ids are stale
         s = self.store.state
         new = MapStore(Kmax=s.Kmax, Pmax=s.Pmax, Nf=s.Nf)
         self.store = new
@@ -246,9 +268,13 @@ class System:
         return out
 
     def _tick_gba(self):
-        """Advance a background GBA by one chunk per frame — the
-        reference's concurrent GBA thread, time-sliced from the frame
-        loop (one extra async dispatch; tracking never blocks on it)."""
+        """Advance background work by one slice per frame: one stage of
+        an in-flight mapping pass (the reference's LocalMapping thread)
+        and one chunk of a running GBA (its transient GBA thread) —
+        time-sliced from the frame loop as async device dispatches;
+        tracking never blocks on either."""
+        if self.async_mapper is not None:
+            self.async_mapper.tick()
         lc = self.loop_closer
         if lc is not None and lc.gba_async is not None and lc.gba_async.running:
             lc.gba_async.tick(self.store)

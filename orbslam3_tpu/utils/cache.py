@@ -35,6 +35,19 @@ def _host_key() -> str:
                     parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
                 if key == "power management":  # end of first CPU block
                     break
+        # The identity tuple is still not enough on this sandbox: two
+        # different physical hosts expose the SAME virtualized cpuinfo
+        # ("Intel(R) Xeon(R) Processor @ 2.60GHz", identical flags) while
+        # LLVM's direct-cpuid detection differs (prefer-no-scatter/gather
+        # hints), so AOT entries written by the previous host still load
+        # with feature-mismatch warnings / SIGILL risk. The boot id
+        # changes on every sandbox migration: include it so each host
+        # gets a fresh cache (warm within a round, never foreign code).
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                parts.append(f.read().strip())
+        except OSError:
+            pass
         if parts:
             return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
     except OSError:

@@ -1,13 +1,22 @@
-"""BA scaling efficiency across mesh sizes (BASELINE: >=80% at 2 hosts).
+"""BA scaling efficiency (BASELINE: >=80% at 2 hosts).
 
-Runs the point-partitioned distributed BA on a FIXED problem at mesh
-sizes 1 and 2 (and optionally more) and reports strong-scaling
-efficiency t1/(n*tn). Runs on virtual CPU devices
-(`xla_force_host_platform_device_count`) — the devices share the host's
-cores, so the printed number is a conservative LOWER bound on real
-multi-chip efficiency: on real TPUs each shard gets its own chip and the
-only cross-chip cost is the reduced-camera-system psum (6C+36C floats),
-which this harness pays through the same XLA collective path.
+Two measurements of the point-partitioned distributed BA (explicit
+reduced-camera-system, ONE psum per LM iteration — `optim/ba.py`
+dense_schur):
+
+* **pinned 2-process** (headline): two OS processes joined with
+  `jax.distributed` over gloo-localhost, each pinned to its own 2 host
+  cores via taskset — the honest DCN analog on one machine
+  (`drive_distributed_ba.py --bench`). Efficiency = min-t(1 proc) /
+  (2 * min-t(2 procs)) at fixed per-host resources.
+* **in-process virtual 2-device** (secondary): `xla_force_host_platform_
+  device_count` mesh; devices share all host cores, so for the now
+  compute-bound dense solve this UNDERSTATES real multi-chip scaling —
+  reported for continuity with earlier rounds.
+
+On real TPUs the only cross-chip traffic is the psum of
+(S, b_red, Hcc, cost) = 36C^2+42C+1 floats per LM iteration over
+ICI/DCN; everything else is shard-local.
 
 Prints one JSON line; bench.py runs this as a subprocess (CPU-only, so
 it never touches the TPU tunnel).
@@ -15,10 +24,12 @@ it never touches the TPU tunnel).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
 )
@@ -38,8 +49,7 @@ enable_compile_cache()
 from orbslam3_tpu.optim import ba
 from orbslam3_tpu.parallel import ba_sharded
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.join(REPO, "tests"))
 from synthetic import make_scene, perturb_poses
 from test_optim import _ba_problem_from_scene
 
@@ -53,19 +63,37 @@ def make_problem(rng, C=48, Pn=8192):
     return scene, prob
 
 
-def time_solve(scene, prob, mesh, iters=5, pcg=30, reps=3):
+def time_solve(scene, prob, mesh, iters=5, pcg=30, reps=5):
+    best = float("inf")
     res = ba_sharded.solve_ba_point_sharded(
         scene["model"], scene["params"], prob, mesh, iters=iters, pcg_iters=pcg
     )
     jax.block_until_ready(res.cam_t)  # compile + warm
-    t0 = time.perf_counter()
     for _ in range(reps):
+        t0 = time.perf_counter()
         res = ba_sharded.solve_ba_point_sharded(
             scene["model"], scene["params"], prob, mesh,
             iters=iters, pcg_iters=pcg,
         )
         jax.block_until_ready(res.cam_t)
-    return (time.perf_counter() - t0) / reps
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def pinned_two_process():
+    """Run the taskset-pinned 2-OS-process bench (the headline metric)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "drive_distributed_ba.py"),
+             "--bench"],
+            capture_output=True, text=True, timeout=1500,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
 
 
 def main():
@@ -75,11 +103,18 @@ def main():
     t1 = time_solve(scene, prob, ba_sharded.make_mesh(devs[:1]))
     t2 = time_solve(scene, prob, ba_sharded.make_mesh(devs[:2]))
     eff2 = t1 / (2 * t2)
+    pinned = pinned_two_process()
     out = {
-        "ba_ms_1dev": round(t1 * 1e3, 1),
-        "ba_ms_2dev": round(t2 * 1e3, 1),
-        "scaling_efficiency_2dev": round(eff2, 3),
-        "note": "virtual CPU devices sharing one host: lower bound",
+        "pinned_2proc": pinned,
+        "scaling_efficiency_2host": (
+            pinned or {}
+        ).get("scaling_efficiency_2host"),
+        "inprocess_ba_ms_1dev": round(t1 * 1e3, 1),
+        "inprocess_ba_ms_2dev": round(t2 * 1e3, 1),
+        "inprocess_efficiency_2dev": round(eff2, 3),
+        "note": "pinned_2proc is the honest 2-host analog (2 cores each, "
+                "gloo); in-process devices share all cores and understate "
+                "compute-bound scaling",
     }
     print(json.dumps(out))
 

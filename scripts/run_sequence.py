@@ -24,6 +24,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # The axon TPU plugin on this host hijacks backend init and waits for
+    # its tunnel EVEN when JAX_PLATFORMS=cpu is set in the environment;
+    # only config.update actually selects the CPU client. Honor the env
+    # var through config so subprocess test replays stay hermetic.
+    jax.config.update("jax_platforms", "cpu")
 from orbslam3_tpu.utils import enable_compile_cache
 
 enable_compile_cache()
@@ -96,6 +104,7 @@ def main():
         (settings.camera.width, settings.camera.height),
         orb_params=settings.orb, imu_calib=imu_calib, camera2=camera2,
         bf=settings.camera.bf, Kmax=args.kmax, Pmax=args.pmax,
+        fps=settings.camera.fps,
     )
 
     if not args.no_loop:
