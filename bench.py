@@ -87,7 +87,7 @@ def _make_ba(rng, C, P, obs_per_cam):
     return params, prob
 
 
-def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50):
+def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50, dense_schur=False):
     """ms per LM iteration, setup excluded: time iters and 2*iters solves
     and take the marginal cost."""
     from orbslam3_tpu.ops import cameras as cam
@@ -98,7 +98,8 @@ def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50):
 
     def run(n):
         res = ba_mod.solve_ba_jit(
-            cam.CameraModel.PINHOLE, params, prob, iters=n, pcg_iters=pcg_iters
+            cam.CameraModel.PINHOLE, params, prob, iters=n, pcg_iters=pcg_iters,
+            dense_schur=dense_schur,
         )
         jax.block_until_ready(res.cam_R)
 
@@ -142,13 +143,18 @@ def main():
     fps = bench_tracking()
 
     # Local-BA bucket ~ the reference's LocalInertialBA window (10-25 KFs,
-    # `Optimizer.cc:4758`); global bucket ~ a small-map GBA.
-    ba_local_ms = bench_ba(C=16, P=4096, obs_per_cam=512, iters=5)
+    # `Optimizer.cc:4758`) — dense explicit-Schur path, as dispatched by
+    # `local_mapping.local_ba`; global bucket ~ a small-map GBA (PCG).
+    ba_local_ms = bench_ba(C=16, P=4096, obs_per_cam=512, iters=5,
+                           dense_schur=True)
     ba_global_ms = bench_ba(C=128, P=16384, obs_per_cam=512, iters=5)
 
     # Amortized whole-pipeline estimate: per-KF mapping (triangulation +
     # LBA) lands every ~10 frames in EuRoC replays; fold the local-BA
     # cost (5 LM iters, dominant mapping cost) into the per-frame budget.
+    # This is the DEVICE-SERIAL floor: the async mapping executor
+    # (pipeline/async_mapping.py) hides the host-side share of mapping,
+    # but on one chip the device work still serializes with tracking.
     frame_ms = 1e3 / fps
     amortized_ms = frame_ms + (ba_local_ms * 5) / 10.0
     fps_amortized = 1e3 / amortized_ms

@@ -46,6 +46,10 @@ class BAProblem(NamedTuple):
     obs_ur: jnp.ndarray  # (O,) right-u; <0 => mono
     obs_sigma2: jnp.ndarray  # (O,)
     obs_valid: jnp.ndarray  # (O,) bool
+    # Optional second-camera flag for two-camera rigs (stereo-fisheye):
+    # rows with obs_right=True project through Trl * Tcw into the RIGHT
+    # camera (ref `EdgeSE3ProjectXYZToBody`, `OptimizableTypes.h:132`).
+    obs_right: jnp.ndarray | None = None  # (O,) bool
 
 
 class BAResult(NamedTuple):
@@ -56,8 +60,14 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray
 
 
-def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active):
+def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active,
+               cam2=None):
     """Whitened residuals and Jacobians for every observation.
+
+    `cam2 = (params2, R_rl, t_rl)`: rows flagged in `prob.obs_right`
+    project through the rig extrinsics into the second camera
+    (`EdgeSE3ProjectXYZToBody` semantics) — the chain rule just inserts
+    R_rl between the projection Jacobian and the pose/point blocks.
 
     Returns e_w (O,3), Jc_w (O,3,6), Jp_w (O,3,3), chi2 (O,), ok (O,).
     """
@@ -65,17 +75,32 @@ def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active)
     tc = cam_t[prob.obs_cam]
     Xw = points[prob.obs_point]
     Xc = lie.se3_apply(Rc, tc, Xw)
-    z = Xc[..., 2]
+    if cam2 is not None and prob.obs_right is not None:
+        params2, R_rl, t_rl = cam2
+        is_r = prob.obs_right
+        Xc2 = Xc @ R_rl.T + t_rl
+        z = jnp.where(is_r, Xc2[..., 2], Xc[..., 2])
+        uv_hat = jnp.where(
+            is_r[:, None],
+            cam.project(model, params2, Xc2),
+            cam.project(model, params, Xc),
+        )
+        Jp_l = cam.project_jac(model, params, Xc)
+        Jp_r = jnp.einsum("oij,jk->oik", cam.project_jac(model, params2, Xc2), R_rl)
+        Jproj = jnp.where(is_r[:, None, None], Jp_r, Jp_l)
+        is_stereo = (prob.obs_ur >= 0.0) & ~is_r
+    else:
+        z = Xc[..., 2]
+        uv_hat = cam.project(model, params, Xc)
+        Jproj = cam.project_jac(model, params, Xc)  # (O,2,3)
+        is_stereo = prob.obs_ur >= 0.0
     inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    uv_hat = cam.project(model, params, Xc)
-    is_stereo = prob.obs_ur >= 0.0
     ur_hat = uv_hat[..., 0] - bf * inv_z
     e = jnp.concatenate(
         [uv_hat - prob.obs_uv, jnp.where(is_stereo, ur_hat - prob.obs_ur, 0.0)[..., None]],
         axis=-1,
     )
 
-    Jproj = cam.project_jac(model, params, Xc)  # (O,2,3)
     dz = jnp.zeros_like(Jproj[:, 0, :]).at[:, 2].set(1.0)
     Jur = Jproj[:, 0, :] + (bf * inv_z * inv_z)[:, None] * dz
     Jur = jnp.where(is_stereo[:, None], Jur, 0.0)
@@ -121,6 +146,7 @@ def solve_ba(
     axis_name: str | None = None,
     point_axis_local: bool = False,
     dense_schur: bool = False,
+    cam2=None,  # (params2, R_rl, t_rl) two-camera rig extrinsics
 ) -> BAResult:
     """LM bundle adjustment. `iters` ~ the reference's budgets
     (5+10 local `Optimizer.cc:1990-2012`, 10 global, 20 at init).
@@ -154,7 +180,7 @@ def solve_ba(
     if dense_schur:
         return _solve_ba_dense(
             model, params, prob, bf, iters, point_damping, axis_name,
-            point_axis_local,
+            point_axis_local, cam2=cam2,
         )
 
     C = prob.cam_R.shape[0]
@@ -176,7 +202,8 @@ def solve_ba(
     def gn_step(state, lamb):
         cam_R, cam_t, points = state
         e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
-            model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+            model, params, bf, cam_R, cam_t, points, prob,
+            jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
         # Point-block Hessians (local-complete when the point axis is
         # sharded, so the damped inverse below is exact per shard).
@@ -229,7 +256,8 @@ def solve_ba(
     def cost_fn(state):
         cam_R, cam_t, points = state
         _, _, _, chi2, ok, is_st = _linearize(
-            model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+            model, params, bf, cam_R, cam_t, points, prob,
+            jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
         return _allreduce(_robust_cost(chi2, ok, is_st))
 
@@ -238,7 +266,8 @@ def solve_ba(
     )
     cam_R, cam_t, points = state
     _, _, _, chi2, ok, is_st = _linearize(
-        model, params, bf, cam_R, cam_t, points, prob, jnp.ones_like(prob.obs_valid)
+        model, params, bf, cam_R, cam_t, points, prob,
+        jnp.ones_like(prob.obs_valid), cam2=cam2,
     )
     gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
     inlier = ok & (chi2 <= gate)
@@ -247,7 +276,7 @@ def solve_ba(
 
 def _solve_ba_dense(
     model, params, prob: BAProblem, bf, iters, point_damping,
-    axis_name, point_axis_local,
+    axis_name, point_axis_local, cam2=None,
 ) -> BAResult:
     """Explicit-reduced-camera-system LM (the `dense_schur=True` path).
 
@@ -280,7 +309,7 @@ def _solve_ba_dense(
         damped re-solve needs, reduced across shards in ONE psum."""
         e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
             model, params, bf, cam_R, cam_t, points, prob,
-            jnp.ones_like(prob.obs_valid),
+            jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
         cost_l = _robust_cost(chi2, ok, is_st)
         seg = jax.ops.segment_sum
@@ -387,7 +416,7 @@ def _solve_ba_dense(
     cost = lin[-1]
     _, _, _, chi2, ok, is_st = _linearize(
         model, params, bf, cam_R, cam_t, points, prob,
-        jnp.ones_like(prob.obs_valid),
+        jnp.ones_like(prob.obs_valid), cam2=cam2,
     )
     gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
     inlier = ok & (chi2 <= gate)

@@ -78,6 +78,33 @@ def _chi2(e, obs: PoseObs, is_stereo):
     return c2, inv_s2
 
 
+def _residuals_right(model, params_r, R_rl, t_rl, R, t, obs_r: PoseObs):
+    """Right-camera (ToBody) rows for a two-camera rig: the map point is
+    projected through Trl * Tcw into the SECOND camera — the reference's
+    `EdgeSE3ProjectXYZOnlyPoseToBody` (`OptimizableTypes.h:65`, used for
+    the stereo-fisheye frame's right-image features, `Frame.cc:1187`).
+
+    e (M,3; third col 0), J (M,3,6), ok (M,).
+    """
+    Xc_l = lie.se3_apply(R, t, obs_r.Xw)
+    Xc_r = Xc_l @ R_rl.T + t_rl
+    uv_hat = cam.project(model, params_r, Xc_r)
+    e2 = uv_hat - obs_r.uv  # (M,2)
+    Jproj = cam.project_jac(model, params_r, Xc_r)  # (M,2,3) d uv / d Xc_r
+    # d Xc_r / d [rho,phi] = R_rl [I | -hat(Xc_l)]
+    dXcl = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), Xc_l.shape + (3,)),
+         -lie.hat(Xc_l)],
+        axis=-1,
+    )  # (M,3,6)
+    J2 = jnp.einsum("nij,jk,nkl->nil", Jproj, R_rl, dXcl)  # (M,2,6)
+    # Pad to the shared 3-row layout so both sets share the LM machinery.
+    e = jnp.concatenate([e2, jnp.zeros_like(e2[:, :1])], axis=-1)
+    J = jnp.concatenate([J2, jnp.zeros_like(J2[:, :1])], axis=1)
+    ok = obs_r.valid & (Xc_r[..., 2] > 1e-3)
+    return e, J, ok
+
+
 def optimize_pose(
     model: cam.CameraModel,
     params: jnp.ndarray,
@@ -87,14 +114,33 @@ def optimize_pose(
     bf: float = 0.0,
     rounds: int = 4,
     iters_per_round: int = 10,
+    obs_r: PoseObs | None = None,
+    params_r: jnp.ndarray | None = None,
+    R_rl: jnp.ndarray | None = None,
+    t_rl: jnp.ndarray | None = None,
 ) -> PoseResult:
-    """The 4x10 schedule of `Optimizer.cc:907` with chi2 re-gating."""
+    """The 4x10 schedule of `Optimizer.cc:907` with chi2 re-gating.
+
+    `obs_r` (+ `params_r`, `R_rl`, `t_rl`): optional right-camera rows
+    for a two-camera (stereo-fisheye) rig — projection through
+    Trl * Tcw, the reference's ToBody pose edges. Their inliers gate at
+    the 2-DoF chi2 and contribute to H/b alongside the left rows; the
+    returned inlier/chi2 arrays stay LEFT-indexed."""
 
     huber2_mono = lm.CHI2_MONO
     huber2_stereo = lm.CHI2_STEREO
+    two_cam = obs_r is not None
+
+    def right_terms(R, t, active_r, hub_mult):
+        e, J, ok = _residuals_right(model, params_r, R_rl, t_rl, R, t, obs_r)
+        ok = ok & active_r
+        inv_s2 = 1.0 / obs_r.sigma2
+        c2 = jnp.sum(e * e, axis=-1) * inv_s2
+        w = jnp.where(ok, inv_s2 * lm.huber_weight(c2, huber2_mono * hub_mult), 0.0)
+        return e, J, ok, c2, w
 
     def gn_iteration(carry, _):
-        R, t, lamb, active, hub_mult = carry
+        R, t, lamb, active, active_r, hub_mult = carry
         e, J, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
         ok = ok & active
         c2, inv_s2 = _chi2(e, obs, is_stereo)
@@ -105,6 +151,11 @@ def optimize_pose(
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J)
         b = jnp.einsum("nij,ni->j", Jw, e)
+        if two_cam:
+            e_r, J_r, ok_r, _, w_r = right_terms(R, t, active_r, hub_mult)
+            Jw_r = J_r * w_r[:, None, None]
+            H = H + jnp.einsum("nij,nik->jk", Jw_r, J_r)
+            b = b + jnp.einsum("nij,ni->j", Jw_r, e_r)
         H_damped = H + lamb * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         delta = -jnp.linalg.solve(H_damped, b)
         R_new_, t_new_ = lie.exp_se3(delta)
@@ -120,7 +171,16 @@ def optimize_pose(
             rho = jnp.where(
                 c2_ <= d2, c2_, 2.0 * jnp.sqrt(d2 * jnp.maximum(c2_, 1e-12)) - d2
             )
-            return jnp.sum(jnp.where(ok_, rho, 0.0))
+            total = jnp.sum(jnp.where(ok_, rho, 0.0))
+            if two_cam:
+                _, _, okr, c2r, _ = right_terms(R_, t_, active_r, hub_mult)
+                d2r = huber2_mono * hub_mult
+                rhor = jnp.where(
+                    c2r <= d2r, c2r,
+                    2.0 * jnp.sqrt(d2r * jnp.maximum(c2r, 1e-12)) - d2r,
+                )
+                total = total + jnp.sum(jnp.where(okr, rhor, 0.0))
+            return total
 
         c_old = cost(R, t)
         c_new = cost(R_new, t_new)
@@ -128,10 +188,11 @@ def optimize_pose(
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lamb = jnp.clip(jnp.where(accept, lamb * 0.5, lamb * 4.0), 1e-9, 1e6)
-        return (R, t, lamb, active, hub_mult), None
+        return (R, t, lamb, active, active_r, hub_mult), None
 
     R, t = R0, t0
     active = obs.valid
+    active_r = obs_r.valid if two_cam else jnp.zeros(0, bool)
     for rnd in range(rounds):
         # Round 0 widens the Huber quadratic region 10x: a cold start
         # (identity prior) with small image motion otherwise stalls in a
@@ -140,9 +201,10 @@ def optimize_pose(
         # motion-model priors and by dropping the robust kernel after two
         # rounds (`Optimizer.cc:1120-1140 e->setRobustKernel(0)`).
         hub = 10.0 if rnd == 0 else 1.0
-        (R, t, _, active, _), _ = jax.lax.scan(
+        (R, t, _, active, active_r, _), _ = jax.lax.scan(
             gn_iteration,
-            (R, t, jnp.asarray(1e-4, R0.dtype), active, jnp.asarray(hub, R0.dtype)),
+            (R, t, jnp.asarray(1e-4, R0.dtype), active, active_r,
+             jnp.asarray(hub, R0.dtype)),
             None,
             length=iters_per_round,
         )
@@ -153,6 +215,9 @@ def optimize_pose(
         c2, _ = _chi2(e, obs, is_stereo)
         gate = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
         active = ok & (c2 <= gate)
+        if two_cam:
+            _, _, okr, c2r, _ = right_terms(R, t, obs_r.valid, 1.0)
+            active_r = okr & (c2r <= lm.CHI2_MONO)
 
     e, _, ok, is_stereo = _residuals(model, params, bf, R, t, obs)
     c2, _ = _chi2(e, obs, is_stereo)

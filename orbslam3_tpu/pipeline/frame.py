@@ -34,6 +34,11 @@ class FrameData:
     mp_assoc: np.ndarray  # (Nf,) int32 map-point id per feature (-1 none)
     ur: Optional[np.ndarray] = None  # (Nf,) stereo right-u
     depth: Optional[np.ndarray] = None  # (Nf,) stereo/RGB-D depth
+    # Two-camera rig (stereo-fisheye): right-camera pixel of the matched
+    # right feature per LEFT feature (for ToBody pose rows).
+    uv_r: Optional[np.ndarray] = None  # (Nf,2)
+    sig2_r: Optional[np.ndarray] = None  # (Nf,)
+    has_r: Optional[np.ndarray] = None  # (Nf,) bool
 
     @property
     def n_features(self) -> int:

@@ -27,6 +27,24 @@ from orbslam3_tpu.ops import matching, ransac
 from orbslam3_tpu.pipeline import map_merging
 
 
+def gate_inertial_sim3(Rw: np.ndarray, s12: float, imu_metric: bool):
+    """Inertial merge gates (`/root/reference/src/LoopClosing.cc:107,
+    120-127`): a gravity-calibrated (metric) map rejects merges whose
+    Sim3 rescales it outside 0.9-1.1, and restricts the correction
+    rotation to yaw (x/y of the so3 log zeroed — both maps share the
+    gravity-aligned world z). Returns (ok, Rw_gated)."""
+    from orbslam3_tpu.ops import lie
+
+    if not imu_metric:
+        return True, Rw
+    if not (0.9 < float(s12) < 1.1):
+        return False, Rw
+    phi = np.asarray(lie.log_so3(jnp.asarray(Rw, jnp.float32))).copy()
+    phi[0] = 0.0
+    phi[1] = 0.0
+    return True, np.asarray(lie.exp_so3(jnp.asarray(phi, jnp.float32)))
+
+
 class MultiMapManager:
     def __init__(self, system, vocabulary, min_kfs_to_store: int = 10,
                  min_merge_matches: int = 15, min_sim3_inliers: int = 12):
@@ -152,6 +170,17 @@ class MultiMapManager:
         o1 = np.asarray(s1.kf_octave[k1])
         o2 = np.asarray(s2.kf_octave[k2])[np.clip(idx2, 0, None)]
         proj = lambda X: cam.project(model, params, X)
+        # Stereo / RGB-D maps are metric by construction -> Sim3 with
+        # fixed scale (ref `mbFixScale`, `LoopClosing.h:125`); an
+        # IMU-initialized monocular map is metric too but its estimate
+        # may still drift, so the reference SOLVES scale and then GATES
+        # it (`LoopClosing.cc:107`).
+        from orbslam3_tpu.system import Sensor
+
+        sensor = sysm.sensor
+        inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
+        imu_metric = inertial and sysm.tracker.imu_ready
+        fix_scale = sensor in (Sensor.STEREO, Sensor.RGBD, Sensor.IMU_STEREO)
         ok, R12, t12, s12, inl = ransac.sim3_ransac(
             jnp.asarray(X1, jnp.float32), jnp.asarray(X2, jnp.float32),
             jnp.asarray(valid), jax.random.PRNGKey(kf_id + 7777),
@@ -160,7 +189,7 @@ class MultiMapManager:
             proj, proj,
             jnp.asarray(np.asarray(s1.kf_uv[k1]), jnp.float32),
             jnp.asarray(np.asarray(s2.kf_uv[k2])[np.clip(idx2, 0, None)], jnp.float32),
-            fix_scale=False, min_inliers=self.min_sim3_inliers,
+            fix_scale=fix_scale, min_inliers=self.min_sim3_inliers,
         )
         if not bool(ok):
             return False
@@ -172,6 +201,9 @@ class MultiMapManager:
         Rw = R2.T @ R12n @ R1
         tw = R2.T @ (s12n * (R12n @ t1) + t12n - t2)
         sw = s12n
+        ok_gate, Rw = gate_inertial_sim3(Rw, sw, imu_metric)
+        if not ok_gate:
+            return False
         self._do_merge(act, target, Rw, tw, sw)
         self.n_merges += 1
         return True
@@ -225,9 +257,8 @@ class MultiMapManager:
         # WELD (ref `MergeLocal` SearchAndFuse + weld BA,
         # `LoopClosing.cc:1756-1802`): fuse the target's pre-merge points
         # into the migrated keyframes so the two halves share
-        # observations, then a global BA couples them metrically.
+        # observations.
         from orbslam3_tpu.pipeline.local_mapping import fuse_into_kf
-        from orbslam3_tpu.pipeline.gba import global_ba
 
         cand = np.flatnonzero(pre_merge_points).astype(np.int32)
         if len(cand):
@@ -250,13 +281,112 @@ class MultiMapManager:
                     target.state = target.state._replace(
                         kf_mp=target.state.kf_mp.at[kj].set(row)
                     )
-        global_ba(
-            target, sysm.tracker.model, sysm.tracker.params,
-            np.asarray(sysm.tracker.sigma2_table), bf=sysm.tracker.bf, iters=10,
-        )
+        target.bump()
+        self._weld_and_distribute(target, tr.ref_kf)
 
         # Remove the old map from the Atlas (its content now lives in the
         # target) and drop its database.
         self.atlas.maps.remove(act)
         self.kfdbs.pop(id(act), None)
         self.atlas.active_idx = self.atlas.maps.index(target)
+
+    def _weld_and_distribute(self, target: st.MapStore, weld_center: int):
+        """Seam refinement, O(window) + O(graph) instead of a full-map BA:
+
+        1. **Welding-window local BA** around the merge keyframe — the
+           reference's 15-KF window `Optimizer::LocalBundleAdjustment`
+           variant for merges (`LoopClosing.cc:1802` -> `Optimizer.cc:
+           6434`); post-fuse covisibility spans both halves, so the
+           window mixes migrated and target keyframes. Inertial maps run
+           the VI version instead (`MergeInertialBA`, `LoopClosing.cc:
+           2301` -> `Optimizer.cc:7091`) over the temporal window through
+           the existing `solve_vi_ba` machinery.
+        2. **Essential graph** over the whole merged map with the welded
+           window FIXED (`LoopClosing.cc:1910` -> the merge variant of
+           `OptimizeEssentialGraph`, `Optimizer.cc:3291`): edge
+           measurements are the PRE-weld relative poses, so the graph
+           drags every non-window keyframe along the window's correction
+           and distributes the seam error instead of a global BA.
+        """
+        from orbslam3_tpu.optim import pose_graph as pg
+
+        sysm = self.system
+        mapper = sysm.mapper
+        old_store = mapper.store
+        mapper.store = target
+        mapper._covis_pin = None
+        s0 = target.state
+        # Pre-weld poses: the essential graph's measurement basis.
+        R_pre = np.asarray(s0.kf_R).copy()
+        t_pre = np.asarray(s0.kf_t).copy()
+        try:
+            if mapper.imu_initialized:
+                mapper._local_inertial_ba(weld_center, window=16)
+            else:
+                mapper._local_ba(weld_center)
+        finally:
+            mapper.store = old_store
+            mapper._covis_pin = None
+
+        s = target.state
+        nkf = target.n_kf
+        K = s.Kmax
+        kf_valid = np.asarray(s.kf_valid)
+        covis = target.covisibility_np()
+        # The welded window = weld_center + its best covisibles (the KFs
+        # the local BA just moved); they anchor the graph.
+        order = np.argsort(-covis[weld_center][:nkf])
+        window = {weld_center}
+        for c in order:
+            if len(window) >= 16:
+                break
+            if covis[weld_center][c] > 0 and kf_valid[c]:
+                window.add(int(c))
+        fixed = np.zeros(K, bool)
+        fixed[list(window)] = True
+        fixed[nkf:] = True
+        fixed |= ~kf_valid
+        if fixed.all():
+            return
+
+        ei, ej, ew = [], [], []
+        for k in range(1, nkf):
+            if kf_valid[k] and kf_valid[k - 1]:
+                ei.append(k - 1); ej.append(k); ew.append(1.0)
+        ii, jj = np.nonzero(np.triu(covis[:nkf, :nkf] >= 30, 2))
+        for a, b in zip(ii, jj):
+            if kf_valid[a] and kf_valid[b]:
+                ei.append(int(a)); ej.append(int(b)); ew.append(1.0)
+        if not ei:
+            return
+        E = len(ei)
+        ei = np.asarray(ei, np.int32)
+        ej = np.asarray(ej, np.int32)
+        eR = np.zeros((E, 3, 3), np.float32)
+        et = np.zeros((E, 3), np.float32)
+        for n in range(E):
+            a, b = ei[n], ej[n]
+            Rba = R_pre[b] @ R_pre[a].T
+            eR[n] = Rba
+            et[n] = t_pre[b] - Rba @ t_pre[a]
+        graph = pg.PoseGraph(
+            R=s.kf_R, t=s.kf_t, s=jnp.ones(K), fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_R=jnp.asarray(eR), edge_t=jnp.asarray(et),
+            edge_s=jnp.ones(E), edge_valid=jnp.ones(E, bool),
+            edge_weight=jnp.asarray(ew, np.float32),
+        )
+        inertial = mapper.imu_init is not None and mapper.imu_init.initialized
+        R_new, t_new, s_new = pg.solve_pose_graph(graph, iters=10, dof4=inertial)
+        # Points ride their reference KF's correction; window points were
+        # already placed by the weld BA (their refs are fixed -> no-op).
+        ref = jnp.clip(s.mp_first_kf, 0, K - 1)
+        newp = pg.correct_points(
+            s.mp_pos, s.kf_R[ref], s.kf_t[ref], jnp.ones(s.Pmax),
+            R_new[ref], t_new[ref], s_new[ref],
+        )
+        newp = jnp.where(s.mp_valid[:, None], newp, s.mp_pos)
+        target.state = s._replace(
+            kf_R=R_new, kf_t=t_new / s_new[:, None], mp_pos=newp
+        )
+        target.bump()

@@ -190,7 +190,8 @@ def _local_point_mask(state: st.MapState, kf_ids: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("model",))
 def _pose_opt_from_assoc(
-    model, params, R0, t0, assoc, f_cur: feat.Features, mp_pos, mp_valid, sigma2_table, ur=None, bf=0.0
+    model, params, R0, t0, assoc, f_cur: feat.Features, mp_pos, mp_valid, sigma2_table, ur=None, bf=0.0,
+    rig=None,
 ):
     ok = (assoc >= 0) & f_cur.valid & mp_valid[jnp.clip(assoc, 0)]
     Xw = mp_pos[jnp.clip(assoc, 0)]
@@ -202,7 +203,20 @@ def _pose_opt_from_assoc(
         sigma2=s2,
         valid=ok,
     )
-    return pose_only.optimize_pose(model, params, R0, t0, obs, bf=bf)
+    if rig is None:
+        return pose_only.optimize_pose(model, params, R0, t0, obs, bf=bf)
+    # Two-camera rig: add right-camera (ToBody) rows for features whose
+    # lapping-area stereo match exists (ref `EdgeSE3ProjectXYZOnlyPose-
+    # ToBody`, built from the fisheye frame's right matches).
+    params_r, R_rl, t_rl, uv_r, sig2_r, has_r = rig
+    obs_r = pose_only.PoseObs(
+        Xw=Xw, uv=uv_r, ur=jnp.full(assoc.shape, -1.0),
+        sigma2=sig2_r, valid=ok & has_r,
+    )
+    return pose_only.optimize_pose(
+        model, params, R0, t0, obs, bf=bf,
+        obs_r=obs_r, params_r=params_r, R_rl=R_rl, t_rl=t_rl,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -253,6 +267,7 @@ def _track_step(
     scale_table, sigma2_table, img_wh,
     min_obs,                            # NeedNewKeyFrame nMinObs (device)
     ur=None, bf=0.0, n_levels: int = 8,
+    rig=None,  # (params_r, R_rl, t_rl, uv_r, sig2_r, has_r) two-cam rows
 ):
     """The whole two-stage visual tracking of one frame as ONE device
     program (`Tracking::Track` stages `Tracking.cc:2331,2171,2436`):
@@ -276,7 +291,7 @@ def _track_step(
     )
     res_a = _pose_opt_from_assoc(
         model, params, R_pred, t_pred, assoc_a, f_cur,
-        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf, rig=rig,
     )
     ok_a = have_pred & (n_a >= 20) & (res_a.n_inliers >= 10)
 
@@ -288,7 +303,7 @@ def _track_step(
     )
     res_b = _pose_opt_from_assoc(
         model, params, R_last, t_last, assoc_b, f_cur,
-        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf, rig=rig,
     )
     ok_b = (ref_kf >= 0) & (n_b >= 15) & (res_b.n_inliers >= 10)
 
@@ -323,7 +338,7 @@ def _track_step(
     )
     res2 = _pose_opt_from_assoc(
         model, params, R1, t1, assoc2, f_cur,
-        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf, rig=rig,
     )
     assoc_final = jnp.where(res2.inlier, assoc2, -1)
 
@@ -714,7 +729,19 @@ class Tracker:
         close = (depth > 0) & (depth < self.th_depth * c2["baseline"])
         depth = np.where(close, depth, -1.0)
         ur = np.full(f.uv.shape[0], -1.0, np.float32)  # no rectified ur for KB8
-        return self._process_with_features(f, timestamp, ur=ur, depth=depth)
+        # Right-camera rows for pose optimization (ToBody edges): pixel
+        # and octave variance of each left feature's right match.
+        ridx = np.asarray(fs.right_idx)
+        has_r = np.asarray(fs.valid) & (ridx >= 0)
+        uv_r_all = np.asarray(f_r.uv)
+        s2t = np.asarray(self.sigma2_table)
+        oct_r = np.asarray(f_r.octave)[np.clip(ridx, 0, None)]
+        return self._process_with_features(
+            f, timestamp, ur=ur, depth=depth,
+            uv_r=uv_r_all[np.clip(ridx, 0, None)].astype(np.float32),
+            sig2_r=s2t[np.clip(oct_r, 0, len(s2t) - 1)].astype(np.float32),
+            has_r=has_r,
+        )
 
     def process_frame(self, img: np.ndarray, timestamp: float) -> fr.FrameData:
         f = self._extract(img)
@@ -726,6 +753,9 @@ class Tracker:
         timestamp: float,
         ur: Optional[np.ndarray] = None,
         depth: Optional[np.ndarray] = None,
+        uv_r: Optional[np.ndarray] = None,
+        sig2_r: Optional[np.ndarray] = None,
+        has_r: Optional[np.ndarray] = None,
     ) -> fr.FrameData:
         # Timestamp anomalies (ref `Tracking::Track` `Tracking.cc:987-1031`):
         # a reordered frame resets the active map; a >1 s gap in inertial
@@ -745,6 +775,7 @@ class Tracker:
             mp_assoc=np.full(f.n, -1, np.int32),
             ur=ur,
             depth=depth,
+            uv_r=uv_r, sig2_r=sig2_r, has_r=has_r,
         )
         self.frame_id += 1
 
@@ -1078,6 +1109,15 @@ class Tracker:
                 jnp.asarray(3 if self.store.n_kf > 2 else 2, jnp.int32),
                 ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
                 bf=self.bf, n_levels=self.orb.n_levels,
+                rig=(
+                    (
+                        self.camera2["params"], self.camera2["R_rl"],
+                        self.camera2["t_rl"], jnp.asarray(cur.uv_r),
+                        jnp.asarray(cur.sig2_r), jnp.asarray(cur.has_r),
+                    )
+                    if self.camera2 is not None and cur.uv_r is not None
+                    else None
+                ),
             )
             # ONE host round-trip for every gate/decision of this frame;
             # the found/visible stat arrays stay on device.

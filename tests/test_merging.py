@@ -83,3 +83,30 @@ def test_merge_maps(rng):
     # Covisibility spans the merged content.
     W = np.asarray(st.covisibility(tgt))
     assert W[kf_remap[0], kf_remap[1]] > 0
+
+
+def test_inertial_merge_gates():
+    """`gate_inertial_sim3`: scale gate 0.9-1.1 + yaw-only rotation for
+    gravity-calibrated maps (`LoopClosing.cc:107,120-127`)."""
+    from orbslam3_tpu.pipeline.multimap import gate_inertial_sim3
+
+    Rfull = np.asarray(
+        lie.exp_so3(jnp.asarray([0.05, -0.08, 0.6], jnp.float32))
+    )
+    # Visual map: anything goes, rotation untouched.
+    ok, R = gate_inertial_sim3(Rfull, 1.7, imu_metric=False)
+    assert ok and np.allclose(R, Rfull)
+    # Metric map: scale outside 0.9-1.1 rejected.
+    ok, _ = gate_inertial_sim3(Rfull, 1.2, imu_metric=True)
+    assert not ok
+    ok, _ = gate_inertial_sim3(Rfull, 0.85, imu_metric=True)
+    assert not ok
+    # Metric map, sane scale: rotation restricted to yaw.
+    ok, Ry = gate_inertial_sim3(Rfull, 1.02, imu_metric=True)
+    assert ok
+    phi = np.asarray(lie.log_so3(jnp.asarray(Ry, jnp.float32)))
+    assert abs(phi[0]) < 1e-6 and abs(phi[1]) < 1e-6
+    assert abs(phi[2] - 0.6) < 0.05  # yaw preserved
+    # Gravity direction (world z) invariant under the gated rotation.
+    z = np.array([0.0, 0.0, 1.0], np.float32)
+    np.testing.assert_allclose(Ry @ z, z, atol=1e-5)
