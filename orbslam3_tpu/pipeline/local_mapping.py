@@ -301,25 +301,45 @@ def local_ba(
     )
     obs_s2 = sigma2_table[jnp.clip(obs_oct, 0, sigma2_table.shape[0] - 1)]
 
+    # Compact the point axis to the window's points (fixed cap): the
+    # dense-Schur coupling blocks are O(P_compact * C * 18) — without
+    # this the scatter + MXU contraction would scale with the WHOLE
+    # Pmax pool (65k in at-scale replays) instead of the ~2-6k points a
+    # window actually sees.
+    CAP = 8192
+    Pmax = state.Pmax
+    sel = jnp.nonzero(win_mask, size=CAP, fill_value=Pmax)[0]  # (CAP,)
+    sel_ok = sel < Pmax
+    sel_c = jnp.clip(sel, 0, Pmax - 1)
+    # inv[orig] = compact slot; CAP = "not selected" sentinel (also where
+    # padding rows of `sel` landed their arange writes, at index Pmax).
+    inv = jnp.full((Pmax + 1,), CAP, jnp.int32).at[
+        jnp.where(sel_ok, sel_c, Pmax)
+    ].set(jnp.arange(CAP, dtype=jnp.int32))
+    inv = inv.at[Pmax].set(CAP)
+    sel_of = inv[obs_pt]
+    obs_valid = obs_valid & (sel_of < CAP)
+    obs_pt_c = jnp.clip(sel_of, 0, CAP - 1)
+
     prob = ba_mod.BAProblem(
         cam_R=cam_R, cam_t=cam_t, cam_fixed=cam_fixed,
-        points=state.mp_pos, point_valid=win_mask,
-        obs_cam=obs_cam, obs_point=obs_pt, obs_uv=obs_uv, obs_ur=obs_ur,
+        points=state.mp_pos[sel_c], point_valid=sel_ok,
+        obs_cam=obs_cam, obs_point=obs_pt_c, obs_uv=obs_uv, obs_ur=obs_ur,
         obs_sigma2=obs_s2, obs_valid=obs_valid,
     )
-    # Explicit reduced camera system: at window size C<=32 the dense
-    # 6Cx6C solve turns ~10*pcg_iters tiny matvec ops into 3 MXU ops —
-    # the LBA stops being dispatch-bound (see optim/ba.py dense_schur).
+    # Explicit reduced camera system: the dense 6Cx6C solve turns
+    # ~10*pcg_iters tiny matvec ops into 3 MXU ops — the LBA stops being
+    # dispatch-bound (see optim/ba.py dense_schur).
     res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters,
                           dense_schur=True)
 
-    # Write back: window poses + window points.
+    # Write back: window poses + compacted window points.
     Wn = window_ids.shape[0]
     new_state = st.update_poses_points(
         state,
         jnp.clip(window_ids, 0), res.cam_R[:Wn], res.cam_t[:Wn],
         (window_ids >= 0),
-        jnp.arange(state.Pmax), res.points, win_mask,
+        sel_c, res.points, sel_ok,
     )
     # Remove outlier observations (ref: Optimizer.cc:2060-2090 erase).
     bad_obs = obs_valid & ~res.obs_inlier
@@ -792,12 +812,13 @@ class LocalMapper:
 
     def _cull_keyframes(self, kf_id: int, keep_recent: int = 3):
         """`KeyFrameCulling` (`LocalMapping.cc:1170`): erase covisible KFs
-        whose map points are >=90% redundant (seen by >=3 other KFs).
-        The reference adds a same-or-finer-scale condition on the other
-        observers; we count all observers (slightly more aggressive).
-        Never culls KF0, the `keep_recent` newest KFs, or (inertial mode)
-        the temporal window the IMU chain needs (Nd=21 guard,
-        `LocalMapping.cc:1176-1198`)."""
+        whose map points are >=90% redundant — a point counts as
+        redundant only if >=3 OTHER keyframes observe it at the same or
+        finer scale (scaleLevel_i <= scaleLevel+1, `LocalMapping.cc:
+        1198-1209`), so far-scale coverage is not thinned by close-up
+        observers. Never culls KF0, the `keep_recent` newest KFs, or
+        (inertial mode) the temporal window the IMU chain needs (Nd=21
+        guard, `LocalMapping.cc:1176-1198`)."""
         s = self.store.state
         nkf = self.store.n_kf
         protected = {0, kf_id}
@@ -807,18 +828,32 @@ class LocalMapper:
         candidates = [c for c in self._covisible(kf_id, 10) if int(c) not in protected]
         if not candidates:
             return
-        observers = self.store.point_observers_np()
         kf_mp = self.store.kf_mp_np()
         valid = np.asarray(s.kf_valid)
+        # Per-(point, octave) observation histogram, cumulative over
+        # octaves: cum[p, o] = observations of p at octave <= o.
+        kf_oct, feat_ok = fetch(s.kf_octave, s.kf_feat_valid)
+        L = int(self.sigma2_table.shape[0])
+        m = (kf_mp >= 0) & feat_ok & valid[:, None]
+        pids = kf_mp[m]
+        octs = np.clip(kf_oct[m], 0, L - 1)
+        cnt = np.zeros((s.Pmax, L), np.int32)
+        np.add.at(cnt, (pids, octs), 1)
+        cum = np.cumsum(cnt, axis=1)
         for c in candidates:
             c = int(c)
             if not valid[c]:
                 continue
             row = kf_mp[c]
-            pts = row[row >= 0]
+            sel_f = row >= 0
+            pts = row[sel_f]
             if len(pts) < 20:
                 continue
-            redundant = (observers[pts] >= 4).sum()  # self + 3 others
+            # Scale condition: other observers at octave <= this KF's
+            # octave + 1 (same-or-finer scale); subtract self.
+            oct_c = np.clip(kf_oct[c][sel_f], 0, L - 1)
+            fine = cum[pts, np.minimum(oct_c + 1, L - 1)] - 1
+            redundant = (fine >= 3).sum()
             if redundant >= 0.9 * len(pts):
                 # Re-root tracker trajectory entries anchored on this slot
                 # BEFORE erasing: slots are recycled, and the reference's

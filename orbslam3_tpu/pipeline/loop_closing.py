@@ -81,6 +81,11 @@ class LoopCloser:
         self.scale_table = scale_table
         self.mapper = mapper  # for purge_freed after SearchAndFuse
         self.last_loop_kf = -10_000
+        # Persistent loop edges (ref `KeyFrame::AddLoopEdge`,
+        # `KeyFrame.h:316-330`): every accepted closure's measured Sim3
+        # constrains ALL subsequent essential-graph solves, not just the
+        # one that created it.
+        self.loop_edges = []  # [(kf_i, kf_j, R21, t21, s21), ...]
         self.n_loops_closed = 0
         # Background interruptible GBA (ref transient thread,
         # `LoopClosing.cc:1323`); None = synchronous fallback.
@@ -238,9 +243,22 @@ class LoopCloser:
         for a, b in zip(ii, jj):
             if kf_valid[a] and kf_valid[b]:
                 ei.append(a); ej.append(b); ew.append(1.0)
-        # Loop edge with the measured Sim3: M_ji with i=cur, j=loop:
-        # S_loop_cam = S_lw S_wc(cur) ... measurement M = S21 maps cur-cam
-        # to loop-cam: M_{loop,cur} = (R21, t21, s21).
+        # Loop edges: every PREVIOUS closure's measured Sim3 (persistent,
+        # ref `KeyFrame::AddLoopEdge` `KeyFrame.h:316-330` — accumulated
+        # in the graph across closures) + the new measurement.
+        n_chain = len(ei)
+        live_loops = [
+            (a, b, Rm, tm, sm)
+            for (a, b, ts_a, ts_b, Rm, tm, sm) in self.loop_edges
+            if a < nkf and b < nkf and kf_valid[a] and kf_valid[b]
+            # Slots are recycled after culling: the timestamp must still
+            # identify the SAME keyframe the edge was measured between.
+            and store.kf_ts[a] == ts_a and store.kf_ts[b] == ts_b
+        ]
+        for (a, b, _, _, _) in live_loops:
+            ei.append(a); ej.append(b); ew.append(5.0)
+        # The new loop edge with the measured Sim3: M_ji with i=cur,
+        # j=loop: M_{loop,cur} = (R21, t21, s21).
         ei.append(kf_id); ej.append(loop_kf)
         ew.append(5.0)
 
@@ -252,16 +270,26 @@ class LoopCloser:
         es = np.ones(E, np.float32)
         Rn = np.asarray(s.kf_R)
         tn = np.asarray(s.kf_t)
-        for n in range(E - 1):
+        for n in range(n_chain):
             a, b = ei[n], ej[n]
             # M_ba = T_b T_a^-1 from current estimates.
             Rba = Rn[b] @ Rn[a].T
             tba = tn[b] - Rba @ tn[a]
             eR[n] = Rba
             et[n] = tba
+        for k, (_, _, Rm, tm, sm) in enumerate(live_loops):
+            eR[n_chain + k] = Rm
+            et[n_chain + k] = tm
+            es[n_chain + k] = sm
         eR[E - 1] = R21
         et[E - 1] = t21
         es[E - 1] = s21
+        self.loop_edges.append(
+            (int(kf_id), int(loop_kf),
+             float(store.kf_ts[kf_id]), float(store.kf_ts[loop_kf]),
+             np.asarray(R21, np.float32).copy(),
+             np.asarray(t21, np.float32).copy(), float(s21))
+        )
 
         graph = pg.PoseGraph(
             R=Rk, t=tk, s=sk, fixed=jnp.asarray(fixed),

@@ -212,6 +212,7 @@ class System:
             self.loop_closer.store = new
             self.loop_closer._pending = None
             self.loop_closer.last_loop_kf = -10_000
+            self.loop_closer.loop_edges = []
             self.tracker.kfdb = kfdb
 
     def _on_timestamp_anomaly(self, kind: str):
