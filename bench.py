@@ -43,7 +43,11 @@ def bench_tracking():
     _, args = entry()
     run = staged_pipeline()
     out = run(*args)  # compile all stages
-    jax.block_until_ready(out)
+    # Force REAL execution with a host fetch: on the tunneled TPU platform
+    # block_until_ready alone can return before the device has actually
+    # executed anything (deferred execution until first materialization),
+    # which would make the async timing loop below read fake-fast.
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
 
     n_iters = 50
     t0 = time.perf_counter()

@@ -280,13 +280,208 @@ def level_budgets(params: OrbParams) -> Sequence[int]:
     return budgets
 
 
+# ---------------------------------------------------------------------------
+# Atlas layout: all pyramid levels stacked vertically into ONE image so the
+# dense stages (FAST, NMS) and the per-keypoint stages (patch gather, blur,
+# angle, BRIEF) each run ONCE instead of once per level. Levels are placed at
+# CELL-aligned row offsets with >= GAP zero rows between them; GAP exceeds the
+# blur + FAST + NMS reach, so per-level values are bit-identical to computing
+# each level standalone with zero padding.
+# ---------------------------------------------------------------------------
+
+_ATLAS_GAP = 8  # >= blur reach (3) + FAST ring (3) + NMS (1)
+_PATCH = 46  # raw patch: BRIEF reach (19) + blur reach (3) = 22 each side
+_PCTR = 22  # patch center index
+_BLUR_CTR = _PCTR - 3  # center index inside the blurred (valid-region) patch
+
+
+def _atlas_layout(H: int, W: int, params: OrbParams):
+    """Static (offsets, sizes, atlas_H, atlas_W) of the stacked pyramid."""
+    offs, sizes = [], []
+    off = 0
+    for lvl in range(params.n_levels):
+        scale = params.scale_factor**lvl
+        h = H if lvl == 0 else int(round(H / scale))
+        w = W if lvl == 0 else int(round(W / scale))
+        offs.append(off)
+        sizes.append((h, w))
+        off = ((off + h + _ATLAS_GAP) + CELL - 1) // CELL * CELL
+    atlas_h = ((offs[-1] + sizes[-1][0]) + CELL - 1) // CELL * CELL
+    atlas_w = (W + CELL - 1) // CELL * CELL
+    return offs, sizes, atlas_h, atlas_w
+
+
+def _extract_patches(atlas: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
+                     psize: int, center: int) -> jnp.ndarray:
+    """(N, psize, psize) patches around integer centers, via two one-hot
+    matmuls (the MXU does the gather: scalar-core gathers are ~10 ns/elem
+    on TPU while a (N*psize, H) x (H, W) matmul streams at MXU rate).
+    Atlas values are integers <= 255, exact in bfloat16. Out-of-range rows
+    and columns read as 0."""
+    HA, WA = atlas.shape
+    a16 = atlas.astype(jnp.bfloat16)
+    ri = yi[:, None] + (jnp.arange(psize, dtype=jnp.int32) - center)[None, :]
+    oy = (ri[:, :, None] == jnp.arange(HA, dtype=jnp.int32)[None, None, :])
+    rows = jnp.einsum(
+        "nph,hw->npw", oy.astype(jnp.bfloat16), a16,
+        preferred_element_type=jnp.float32,
+    )  # (N, psize, WA)
+    ci = xi[:, None] + (jnp.arange(psize, dtype=jnp.int32) - center)[None, :]
+    ox = (ci[:, :, None] == jnp.arange(WA, dtype=jnp.int32)[None, None, :])
+    patch = jnp.einsum(
+        "nqw,npw->npq", ox.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (N, psize_y, psize_x): patch[n, p, q] = atlas[yi+p-c, xi+q-c]
+    return patch
+
+
+def _ic_weights(psize: int, center: int):
+    """Static (psize, psize) x/y moment masks of the radius-15 IC patch."""
+    wx = np.zeros((psize, psize), np.float32)
+    wy = np.zeros((psize, psize), np.float32)
+    r = PATCH_RADIUS
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    mask = xs * xs + ys * ys <= r * r
+    wx[center - r : center + r + 1, center - r : center + r + 1] = xs * mask
+    wy[center - r : center + r + 1, center - r : center + r + 1] = ys * mask
+    return wx, wy
+
+
+def _blur_patches(patch: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable 7-tap Gaussian over the patch interior: (N, P, P) ->
+    (N, P-6, P-6) valid-region blur (matches whole-image zero-padded blur
+    for keypoints >= EDGE_THRESHOLD inside a level, since the atlas gap
+    rows are zero)."""
+    r = 3
+    xs = np.arange(-r, r + 1)
+    k = np.exp(-(xs**2) / (2 * sigma**2))
+    k = (k / k.sum()).astype(np.float32)
+    P = patch.shape[-1]
+    t = sum(float(k[i]) * patch[:, :, i : i + P - 2 * r] for i in range(2 * r + 1))
+    return sum(float(k[i]) * t[:, i : i + P - 2 * r, :] for i in range(2 * r + 1))
+
+
+def _brief_from_patches(pblur: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Steered BRIEF on blurred patches: rotated integer offsets (the
+    reference rounds the rotated pattern, `computeOrbDescriptor`) sampled
+    with a factored one-hot contraction — row pick is a batched matmul,
+    column pick an elementwise reduce."""
+    N, PB, _ = pblur.shape
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px = _PATTERN[:, :, 0].reshape(-1)  # (512,)
+    py = _PATTERN[:, :, 1].reshape(-1)
+    rx = ca[:, None] * px[None] - sa[:, None] * py[None]  # (N, 512)
+    ry = sa[:, None] * px[None] + ca[:, None] * py[None]
+    xi = jnp.round(rx).astype(jnp.int32) + _BLUR_CTR
+    yi = jnp.round(ry).astype(jnp.int32) + _BLUR_CTR
+    oy = (yi[:, :, None] == jnp.arange(PB, dtype=jnp.int32)[None, None, :])
+    t1 = jnp.einsum(
+        "nsr,nrc->nsc", oy.astype(jnp.bfloat16), pblur.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (N, 512, PB) — row-picked
+    ox = (xi[:, :, None] == jnp.arange(PB, dtype=jnp.int32)[None, None, :])
+    vals = jnp.sum(t1 * ox, axis=-1).reshape(N, 256, 2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint8)
+    return (bits.reshape(-1, 32, 8) * _BIT_WEIGHTS[None, None, :]).sum(-1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def extract(image: jnp.ndarray, params: OrbParams = OrbParams()) -> Features:
     """Extract ORB features from a grayscale float32 image [H, W] (0..255).
 
-    One XLA program: pyramid -> dense FAST -> balanced top-k -> IC angle ->
-    steered BRIEF, every level unrolled with static shapes.
+    One XLA program, organised around a stacked-level atlas:
+    pyramid (integer-rounded levels, like the reference's uint8 pyramid,
+    `ORBextractor.cc:ComputePyramid:1158`) -> ONE dense FAST + NMS over
+    the atlas -> per-level balanced top-k -> one (N,46,46) patch gather
+    via MXU one-hot matmuls -> IC angle, in-patch Gaussian blur, steered
+    BRIEF. No per-keypoint scalar gathers anywhere.
     """
+    H, W = image.shape
+    budgets = level_budgets(params)
+    offs, sizes, HA, WA = _atlas_layout(H, W, params)
+
+    # --- build the atlas ---------------------------------------------------
+    atlas = jnp.zeros((HA, WA), jnp.float32)
+    for lvl in range(params.n_levels):
+        h, w = sizes[lvl]
+        lvl_img = image if lvl == 0 else jax.image.resize(
+            image, (h, w), method="bilinear"
+        )
+        lvl_img = jnp.round(lvl_img)  # reference pyramid is uint8
+        atlas = jax.lax.dynamic_update_slice(atlas, lvl_img, (offs[lvl], 0))
+
+    # --- dense FAST + NMS, once --------------------------------------------
+    from orbslam3_tpu.ops import pallas_fast  # lazy: avoids circular import
+
+    if pallas_fast.enabled_for(HA, WA):
+        score, pass_ini = pallas_fast.fast_score_nms_pallas(
+            atlas, params.min_th, params.ini_th
+        )
+    else:
+        score, pass_ini = fast_score(atlas, params.min_th, params.ini_th)
+        score = _nms3(score)
+
+    # Static border mask: FAST ring + descriptor reach inside each level.
+    b = EDGE_THRESHOLD
+    inside_np = np.zeros((HA, WA), bool)
+    for lvl in range(params.n_levels):
+        h, w = sizes[lvl]
+        o = offs[lvl]
+        inside_np[o + b : o + h - b, b : w - b] = True
+    score = jnp.where(jnp.asarray(inside_np), score, 0.0)
+
+    # --- per-level spatially balanced selection ----------------------------
+    xs_l, ys_l, resp_l, valid_l, oct_l = [], [], [], [], []
+    for lvl in range(params.n_levels):
+        h, w = sizes[lvl]
+        o = offs[lvl]
+        hs = (h + CELL - 1) // CELL * CELL  # gap rows are zero-score
+        sl = jax.lax.dynamic_slice(score, (o, 0), (hs, WA))
+        pl_ = jax.lax.dynamic_slice(pass_ini, (o, 0), (hs, WA))
+        x, y, resp, valid = _select_level(sl, pl_, budgets[lvl])
+        xs_l.append(x)
+        ys_l.append(y + float(o))  # atlas coords
+        resp_l.append(resp)
+        valid_l.append(valid)
+        oct_l.append(jnp.full(x.shape, lvl, jnp.int32))
+    xa = jnp.concatenate(xs_l)
+    ya = jnp.concatenate(ys_l)
+    resp = jnp.concatenate(resp_l)
+    valid = jnp.concatenate(valid_l)
+    octave = jnp.concatenate(oct_l)
+
+    # --- one patch gather serves angle + blur + descriptor -----------------
+    xi = xa.astype(jnp.int32)
+    yi = ya.astype(jnp.int32)
+    patch = _extract_patches(atlas, xi, yi, _PATCH, _PCTR)
+    wx, wy = _IC_WX_WY
+    m10 = jnp.einsum("npq,pq->n", patch, wx)
+    m01 = jnp.einsum("npq,pq->n", patch, wy)
+    ang = jnp.arctan2(m01, m10)
+    pblur = _blur_patches(patch)
+    desc = _brief_from_patches(pblur, ang)
+
+    # --- atlas coords -> level-0 pixel coords ------------------------------
+    off_per_slot = jnp.concatenate(
+        [jnp.full((len(x),), float(offs[l]), jnp.float32)
+         for l, x in enumerate(xs_l)]
+    )
+    scale_per_slot = jnp.concatenate(
+        [jnp.full((len(x),), float(params.scale_factor**l), jnp.float32)
+         for l, x in enumerate(xs_l)]
+    )
+    uv0 = jnp.stack([xa, ya - off_per_slot], axis=-1) * scale_per_slot[:, None]
+    return Features(
+        uv=uv0, response=resp, octave=octave, angle=ang, desc=desc, valid=valid
+    )
+
+
+_IC_WX_WY = tuple(jnp.asarray(a) for a in _ic_weights(_PATCH, _PCTR))
+
+
+def _extract_reference_loop(image: jnp.ndarray, params: OrbParams) -> Features:
+    """Per-level loop formulation kept for differential testing
+    (slow path; `tests/test_features.py` exercises `extract`)."""
     H, W = image.shape
     budgets = level_budgets(params)
     outs = []

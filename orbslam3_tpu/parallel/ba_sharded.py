@@ -168,6 +168,8 @@ def prep_point_sharded(prob: ba_mod.BAProblem, n: int):
         obs_ur=jnp.where(fill_j, prob.obs_ur[take], -1.0),
         obs_sigma2=jnp.where(fill_j, prob.obs_sigma2[take], 1.0),
         obs_valid=fill_j & prob.obs_valid[take],
+        obs_right=None if prob.obs_right is None
+        else fill_j & prob.obs_right[take],
     )
     return prob_s, dst, fill, Pn
 

@@ -30,6 +30,8 @@ from typing import Callable, List, Optional
 class AsyncMapper:
     def __init__(self, mapper, downstream: Optional[List[Callable]] = None):
         self.mapper = mapper
+        if not hasattr(mapper, "interrupt_ba"):
+            mapper.interrupt_ba = False
         self.downstream = downstream if downstream is not None else []
         self.queue: deque = deque()
         self._cur: Optional[tuple] = None  # (kf_id, next_stage_idx)
@@ -76,18 +78,27 @@ class AsyncMapper:
             if not self.queue:
                 return
             self._cur = (self.queue.popleft(), 0)
-        kf_id, stage_idx = self._cur
-        stages = self.mapper.STAGES
-        stages[stage_idx](self.mapper, kf_id)
-        stage_idx += 1
-        if stage_idx >= len(stages):
-            self._cur = None
-            self.mapper.interrupt_ba = False
-            self.n_completed += 1
-            for d in self.downstream:
-                d(kf_id)
-        else:
+        # Normally one stage per tick; with an interrupt pending, drain the
+        # pass's remaining stages NOW (its BA stage no-ops under
+        # interrupt_ba) so the mapper frees up within one tick — otherwise
+        # `InterruptBA` would leave Tracking's mono insert path starved for
+        # the rest of the pass, which the reference's threaded mapper never
+        # does (`LocalMapping.cc:InterruptBA` aborts the solve immediately).
+        while True:
+            kf_id, stage_idx = self._cur
+            stages = self.mapper.STAGES
+            stages[stage_idx](self.mapper, kf_id)
+            stage_idx += 1
+            if stage_idx >= len(stages):
+                self._cur = None
+                self.mapper.interrupt_ba = False
+                self.n_completed += 1
+                for d in self.downstream:
+                    d(kf_id)
+                return
             self._cur = (kf_id, stage_idx)
+            if not self.mapper.interrupt_ba:
+                return
 
     def flush(self):
         """Drain every queued pass (System::Shutdown / end of replay —

@@ -206,9 +206,74 @@ class LoopCloser:
         )
         if not bool(ok):
             return None
+
+        # 3) Gauss-Newton Sim3 refinement on the matched pairs
+        #    (`Optimizer::OptimizeSim3`, `Optimizer.cc:4111`; called from
+        #    `LoopClosing.cc:758`): dual-reprojection polish + chi2
+        #    re-gating, then the nSim3Inliers gate (`LoopClosing.cc:636`).
+        from orbslam3_tpu.optim import sim3 as sim3_mod
+
+        s2_1 = s2t[np.clip(oct1, 0, len(s2t) - 1)]
+        s2_2 = s2t[np.clip(oct2, 0, len(s2t) - 1)]
+        ref = sim3_mod.optimize_sim3(
+            self.model, self.params,
+            jnp.asarray(R12), jnp.asarray(t12), jnp.asarray(s12),
+            jnp.asarray(X1, jnp.float32), jnp.asarray(X2, jnp.float32),
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            jnp.asarray(s2_1, jnp.float32), jnp.asarray(s2_2, jnp.float32),
+            jnp.asarray(valid), fix_scale=self.inertial,
+        )
+        if int(ref.n_inliers) < self.min_sim3_inliers:
+            return None
+
+        # 4) Guided-projection support gate (`LoopClosing.cc:633-637`
+        #    nProjMatches): project the candidate's map points through the
+        #    refined Sim3 into KF1 and require enough windowed descriptor
+        #    matches — scaled to our feature budget like the BoW gates.
+        nproj = self._projection_support(
+            kf_id, cand, np.asarray(ref.R), np.asarray(ref.t), float(ref.s)
+        )
+        n_feat = s.kf_desc.shape[1]
+        min_proj = max(self.min_sim3_inliers, int(round(50 * n_feat / 1000.0)))
+        if nproj < min_proj:
+            return None
         # Sim3 mapping X2(cand camera) = S21(X1(cur camera)):
-        # horn gave X2 ~= s R X1 + t, i.e. S21 = (R12, t12, s12).
-        return np.asarray(R12), np.asarray(t12), float(s12)
+        # horn gave X2 ~= s R X1 + t, i.e. S21 = (R, t, s) refined.
+        return np.asarray(ref.R), np.asarray(ref.t), float(ref.s)
+
+    def _projection_support(
+        self, kf_id: int, cand: int, R21, t21, s21
+    ) -> int:
+        """Count of guided-projection matches supporting the Sim3
+        (`ORBmatcher::SearchByProjection` Sim3 overload used by the
+        nProjMatches gates, `LoopClosing.cc:633`/`ORBmatcher.cc:1455`):
+        candidate-side map points -> cand camera -> S21^-1 -> KF1 pixels,
+        windowed Hamming match against KF1's features."""
+        s = self.store.state
+        cd_j = jnp.asarray(cand)
+        kf_j = jnp.asarray(kf_id)
+        mp2 = np.asarray(s.kf_mp[cd_j])
+        has2 = (mp2 >= 0) & np.asarray(s.kf_feat_valid[cd_j])
+        pid = np.clip(mp2, 0, None)
+        pts_w = np.asarray(s.mp_pos)[pid]
+        ok = has2 & np.asarray(s.mp_valid)[pid]
+        R2, t2 = np.asarray(s.kf_R[cd_j]), np.asarray(s.kf_t[cd_j])
+        X2 = (R2 @ pts_w.T).T + t2
+        X1 = (1.0 / s21) * ((X2 - t21) @ R21)  # S21^-1
+        ok = ok & (X1[:, 2] > 0.05)
+        uv = np.asarray(cam.project(self.model, self.params, jnp.asarray(X1)))
+        if self.img_wh is not None:
+            wh = np.asarray(self.img_wh)
+            ok = ok & (uv[:, 0] >= 0) & (uv[:, 1] >= 0) \
+                 & (uv[:, 0] < wh[0]) & (uv[:, 1] < wh[1])
+        m = matching.search_by_projection(
+            jnp.asarray(np.asarray(s.mp_desc)[pid]), jnp.asarray(uv),
+            jnp.asarray(ok),
+            s.kf_desc[kf_j], s.kf_uv[kf_j], s.kf_feat_valid[kf_j],
+            radius=jnp.asarray(8.0), max_dist=matching.TH_HIGH, ratio=1.0,
+        )
+        m = matching.assign_unique(m, int(s.kf_desc.shape[1]))
+        return int(np.asarray(m.valid).sum())
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf_id: int, loop_kf: int, R21, t21, s21):

@@ -194,6 +194,27 @@ class MultiMapManager:
         if not bool(ok):
             return False
 
+        # GN Sim3 refinement (`Optimizer::OptimizeSim3`, called by the
+        # merge detector's `DetectCommonRegionsFromBoW`,
+        # `LoopClosing.cc:746-765`): dual-reprojection polish + chi2
+        # re-gate before committing to a merge.
+        from orbslam3_tpu.optim import sim3 as sim3_mod
+
+        ref = sim3_mod.optimize_sim3(
+            model, params,
+            jnp.asarray(R12), jnp.asarray(t12), jnp.asarray(s12),
+            jnp.asarray(X1, jnp.float32), jnp.asarray(X2, jnp.float32),
+            jnp.asarray(np.asarray(s1.kf_uv[k1]), jnp.float32),
+            jnp.asarray(np.asarray(s2.kf_uv[k2])[np.clip(idx2, 0, None)],
+                        jnp.float32),
+            jnp.asarray(s2t[np.clip(o1, 0, len(s2t) - 1)], jnp.float32),
+            jnp.asarray(s2t[np.clip(o2, 0, len(s2t) - 1)], jnp.float32),
+            jnp.asarray(valid), fix_scale=fix_scale,
+        )
+        if int(ref.n_inliers) < self.min_sim3_inliers:
+            return False
+        R12, t12, s12 = ref.R, ref.t, ref.s
+
         # World Sim3 taking active-map coords into target-map coords:
         # X2_cam = S21(X1_cam); X_t = T2w^-1 S21 T1w (X_a).
         R12n, t12n, s12n = np.asarray(R12), np.asarray(t12), float(s12)

@@ -178,6 +178,53 @@ def _track_local_map_match(
     return assoc, visible
 
 
+@functools.partial(jax.jit, static_argnames=("model", "base_radius", "max_dist", "n_levels"))
+def _projection_rescue_match(
+    model: cam.CameraModel,
+    params: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    state: st.MapState,
+    point_mask: jnp.ndarray,  # (P,) bool — candidate KF's map points
+    f_cur: feat.Features,
+    cur_assoc: jnp.ndarray,  # (Nf,) associations already found (kept)
+    img_wh: jnp.ndarray,
+    base_radius: float,
+    max_dist: float,
+    n_levels: int = 8,
+):
+    """Guided-projection second chance of relocalization
+    (`Tracking.cc:3376-3424`, `ORBmatcher::SearchByProjection(Frame,
+    KeyFrame*, set, th, ORBdist)` `ORBmatcher.cc:2520`): project the
+    candidate keyframe's map points at the coarse pose, match into the
+    frame's still-free keypoints inside a th*scale window with a plain
+    Hamming budget (no ratio test), and merge into the associations."""
+    uv, visible, lvl, vcos = fr.frustum_and_scale(
+        model, params, R, t,
+        state.mp_pos, state.mp_valid & point_mask, state.mp_normal,
+        state.mp_min_dist, state.mp_max_dist, img_wh, n_levels=n_levels,
+    )
+    already = jnp.zeros((state.Pmax,), bool).at[jnp.clip(cur_assoc, 0)].set(
+        cur_assoc >= 0
+    )
+    query_valid = visible & ~already
+    r = base_radius * jnp.asarray(1.2) ** lvl.astype(jnp.float32)
+    kp_free = f_cur.valid & (cur_assoc < 0)
+    m = matching.search_by_projection(
+        state.mp_desc, uv, query_valid, f_cur.desc, f_cur.uv, kp_free,
+        radius=r, octave_kp=f_cur.octave,
+        octave_lo=jnp.maximum(lvl - 1, 0), octave_hi=lvl + 1,
+        max_dist=max_dist, ratio=1.0,
+    )
+    m = matching.assign_unique(m, f_cur.desc.shape[0])
+    assoc = cur_assoc
+    src = jnp.where(m.valid, jnp.arange(state.Pmax, dtype=jnp.int32), 0)
+    assoc = assoc.at[jnp.clip(m.idx, 0)].set(
+        jnp.where(m.valid, src, assoc[jnp.clip(m.idx, 0)])
+    )
+    return assoc
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _local_point_mask(state: st.MapState, kf_ids: jnp.ndarray) -> jnp.ndarray:
     """(P,) bool — points observed by any KF in kf_ids (padded with -1)."""
@@ -1274,10 +1321,48 @@ class Tracker:
                 self.model, self.params, R, t, jnp.asarray(assoc_np),
                 cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
             )
-            if int(res.n_inliers) >= 15:
+            assoc_j = jnp.asarray(assoc_np)
+            n_good = int(res.n_inliers)
+            # Accept threshold: the reference's nGood>=50 (`Tracking.cc:
+            # 3430`) scaled to our feature budget, floored at 15.
+            thr = max(15, int(round(50 * self.orb.n_features / 1000.0)))
+            if n_good < thr:
+                # Guided-projection second chance (`Tracking.cc:3376-3398`):
+                # wide 10px window, loose Hamming budget, re-optimize.
+                kf_mask = _local_point_mask(s, cj[None])
+                assoc_j = jnp.where(res.inlier, assoc_j, -1)
+                assoc_j = _projection_rescue_match(
+                    self.model, self.params, res.R, res.t, s, kf_mask,
+                    cur.features, assoc_j, self.img_wh,
+                    base_radius=10.0, max_dist=float(matching.TH_HIGH),
+                    n_levels=self.orb.n_levels,
+                )
+                res = _pose_opt_from_assoc(
+                    self.model, self.params, res.R, res.t, assoc_j,
+                    cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+                )
+                n_good = int(res.n_inliers)
+                if thr * 0.6 <= n_good < thr:
+                    # Narrow second pass (`Tracking.cc:3400-3424`): 3px
+                    # window, tight Hamming budget, final re-optimize.
+                    assoc_j = jnp.where(res.inlier, assoc_j, -1)
+                    assoc_j = _projection_rescue_match(
+                        self.model, self.params, res.R, res.t, s, kf_mask,
+                        cur.features, assoc_j, self.img_wh,
+                        base_radius=3.0, max_dist=float(matching.TH_LOW),
+                        n_levels=self.orb.n_levels,
+                    )
+                    res = _pose_opt_from_assoc(
+                        self.model, self.params, res.R, res.t, assoc_j,
+                        cur.features, s.mp_pos, s.mp_valid, self.sigma2_table,
+                    )
+                    n_good = int(res.n_inliers)
+            if n_good >= thr:
                 cur.R = np.asarray(res.R)
                 cur.t = np.asarray(res.t)
-                cur.mp_assoc = np.where(np.asarray(res.inlier), assoc_np, -1)
+                cur.mp_assoc = np.where(
+                    np.asarray(res.inlier), np.asarray(assoc_j), -1
+                )
                 self.ref_kf = int(c)
                 return True
         return False

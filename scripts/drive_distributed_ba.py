@@ -74,7 +74,7 @@ def child(proc_id: int, nprocs: int = NPROC, bench: bool = False):
         )
 
     prob_g = ba.BAProblem(*[
-        to_global(v, s) for v, s in zip(prob_s, in_spec)
+        None if v is None else to_global(v, s) for v, s in zip(prob_s, in_spec)
     ])
 
     def solve():

@@ -36,7 +36,10 @@ def _run(rng_seed, n_frames=12, async_mapping=False):
 
 @pytest.mark.slow
 def test_async_matches_sync_quality():
-    slam_a, poses = _run(7, async_mapping=True)
+    # 16 frames: long enough for the 5-stage sliced passes to leave idle
+    # windows where the mono policy may insert (mono never inserts while
+    # the mapper is busy, `Tracking.cc:2694-2713`).
+    slam_a, poses = _run(7, n_frames=16, async_mapping=True)
     assert slam_a.tracking_state == TrackState.OK
     assert slam_a.async_mapper.n_completed >= 1
     assert slam_a.async_mapper.idle()  # shutdown drained everything
