@@ -58,7 +58,7 @@ def bench_tracking():
     return n_iters / dt
 
 
-def _make_ba(rng, C, P, obs_per_cam):
+def _make_ba(rng, C, P, obs_per_cam, n_fixed=2):
     from orbslam3_tpu.ops import cameras as cam
     from orbslam3_tpu.optim import ba as ba_mod
 
@@ -80,7 +80,7 @@ def _make_ba(rng, C, P, obs_per_cam):
     prob = ba_mod.BAProblem(
         cam_R=jnp.asarray(cam_R),
         cam_t=jnp.asarray(cam_t + rng.normal(0, 0.01, cam_t.shape).astype(np.float32)),
-        cam_fixed=jnp.asarray(np.arange(C) < 2),
+        cam_fixed=jnp.asarray(np.arange(C) < n_fixed),
         points=jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)),
         point_valid=jnp.ones(P, bool),
         obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_pt),
@@ -91,14 +91,15 @@ def _make_ba(rng, C, P, obs_per_cam):
     return params, prob
 
 
-def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50, dense_schur=False):
+def bench_ba(C, P, obs_per_cam, iters=10, pcg_iters=50, dense_schur=False,
+             n_fixed=2):
     """ms per LM iteration, setup excluded: time iters and 2*iters solves
     and take the marginal cost."""
     from orbslam3_tpu.ops import cameras as cam
     from orbslam3_tpu.optim import ba as ba_mod
 
     rng = np.random.default_rng(0)
-    params, prob = _make_ba(rng, C, P, obs_per_cam)
+    params, prob = _make_ba(rng, C, P, obs_per_cam, n_fixed=n_fixed)
 
     def run(n):
         res = ba_mod.solve_ba_jit(
@@ -146,11 +147,12 @@ def bench_scaling():
 def main():
     fps = bench_tracking()
 
-    # Local-BA bucket ~ the reference's LocalInertialBA window (10-25 KFs,
-    # `Optimizer.cc:4758`) — dense explicit-Schur path, as dispatched by
-    # `local_mapping.local_ba`; global bucket ~ a small-map GBA (PCG).
-    ba_local_ms = bench_ba(C=16, P=4096, obs_per_cam=512, iters=5,
-                           dense_schur=True)
+    # Local-BA bucket = the production `local_mapping.local_ba` shape:
+    # WINDOW=24 optimizable + FIXED=48 frontier KFs, point axis compacted
+    # to <=8192 — dense explicit-Schur path; global bucket ~ a small-map
+    # GBA (PCG).
+    ba_local_ms = bench_ba(C=72, P=8192, obs_per_cam=512, iters=5,
+                           dense_schur=True, n_fixed=48)
     ba_global_ms = bench_ba(C=128, P=16384, obs_per_cam=512, iters=5)
 
     # Amortized whole-pipeline estimate: per-KF mapping (triangulation +
@@ -176,7 +178,7 @@ def main():
                     "baseline_fps": BASELINE_FPS,
                     "baseline_provenance": "ORB-SLAM3 paper i7 mono EuRoC ~30ms/frame; reference unbuildable here (BASELINE.md)",
                     "fps_amortized_with_mapping": round(fps_amortized, 2),
-                    "ba_local_ms_per_iter_16kf_4kpt": round(ba_local_ms, 2),
+                    "ba_local_ms_per_iter_24kf_48fix_8kpt": round(ba_local_ms, 2),
                     "ba_global_ms_per_iter_128kf_16kpt": round(ba_global_ms, 2),
                     "ba_scaling": scaling,
                 },

@@ -36,8 +36,14 @@ from orbslam3_tpu.optim import lm
 from orbslam3_tpu.utils import timing
 from orbslam3_tpu.utils.fetch import fetch
 
-WINDOW = 16  # optimizable window cap (ref: all covisibles of current KF)
-FIXED = 16  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
+# Window shapes are static pads (one compile each); the dense-Schur LBA
+# (optim/ba.py) makes C = WINDOW+FIXED cheap — S is (6C)^2, solved once
+# per LM iteration. The reference optimizes ALL covisibles of the new KF
+# and fixes every other observer up to maxFixKF=200 (`Optimizer.cc:1811,
+# 4852`); these caps cover the covisible counts real windows reach while
+# keeping one static shape.
+WINDOW = 24  # optimizable window cap (ref: all covisibles of current KF)
+FIXED = 48  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +312,8 @@ def local_ba(
     # this the scatter + MXU contraction would scale with the WHOLE
     # Pmax pool (65k in at-scale replays) instead of the ~2-6k points a
     # window actually sees.
-    CAP = 8192
     Pmax = state.Pmax
+    CAP = min(8192, Pmax)  # small stores (tests) keep small buffers
     sel = jnp.nonzero(win_mask, size=CAP, fill_value=Pmax)[0]  # (CAP,)
     sel_ok = sel < Pmax
     sel_c = jnp.clip(sel, 0, Pmax - 1)

@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--pmax", type=int, default=65536)
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--vocab", default=None)
+    ap.add_argument("--viewer", type=int, default=None, metavar="PORT",
+                    help="serve the live viewer on this port (0=ephemeral)")
     args = ap.parse_args()
 
     from orbslam3_tpu import config as cfg
@@ -126,6 +128,14 @@ def main():
             if args.vocab:
                 bow.save_npz(args.vocab, voc)
         slam.enable_place_recognition(voc)
+        # Atlas multi-map recovery (always on in the reference): hard
+        # tracking loss stores the map and starts fresh; place recognition
+        # later welds the segments (`Tracking.cc:1239-1257`).
+        slam.enable_multimap(voc)
+
+    if args.viewer is not None:
+        v = slam.enable_viewer(port=args.viewer)
+        print(f"live viewer: http://127.0.0.1:{v.port}/")
 
     cursor = 0
     t0 = time.perf_counter()
