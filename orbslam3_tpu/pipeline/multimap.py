@@ -82,8 +82,12 @@ class MultiMapManager:
             self._try_merge(kf_id)
 
     def on_frame_done(self):
-        """Map-creation policy (`Tracking.cc:1239-1257`): hard LOST with a
-        usable map -> store it and start fresh."""
+        """Hard-LOST recovery policy (`Tracking::Track`
+        `Tracking.cc:1239-1257`): a usable map (> min_kfs_to_store KFs) is
+        STORED in the Atlas and a fresh one starts (CreateMapInAtlas); a
+        map too thin to ever relocalize into is discarded and
+        initialization restarts (ResetActiveMap). The short streak lets
+        per-frame relocalization get a few last attempts first."""
         from orbslam3_tpu.pipeline.tracking import TrackState
 
         tr = self.system.tracker
@@ -91,21 +95,22 @@ class MultiMapManager:
             self.lost_streak += 1
         else:
             self.lost_streak = 0
-        if self.lost_streak >= 5 and self.system.store.n_kf > self.min_kfs_to_store:
-            self._create_map()
+        if self.lost_streak >= 5:
+            if self.system.store.n_kf > self.min_kfs_to_store:
+                self._create_map()
+            else:
+                self.system.reset_active_map()
             self.lost_streak = 0
 
     # ------------------------------------------------------------------
     def _create_map(self):
+        """`Tracking::CreateMapInAtlas` (`Tracking.cc:2087`): store the
+        active map, start a fresh one, and re-point every subsystem at it
+        (incl. the loop closer's per-map database and the mapper's IMU
+        init stage — a new map re-initializes the IMU from scratch)."""
         new_store = self.atlas.create_new_map()
         sysm = self.system
-        if sysm.async_mapper is not None:
-            sysm.async_mapper.abort()  # in-flight pass keyed to the old map
-        sysm.store = new_store
-        sysm.tracker.store = new_store
-        sysm.mapper.store = new_store
-        sysm.mapper.preints = {}
-        sysm.mapper.recent_mp = []
+        sysm._attach_store(new_store)
         tr = sysm.tracker
         from orbslam3_tpu.pipeline.tracking import TrackState
 
@@ -116,6 +121,7 @@ class MultiMapManager:
         tr.velocity = None
         tr.pre_from_kf = None
         tr.imu_ready = False
+        tr.frame_prior = None
 
     def _try_merge(self, kf_id: int):
         """Match the new KF against every stored map's database; on a

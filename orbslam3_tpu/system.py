@@ -73,10 +73,12 @@ class System:
         self.loop_closer = None
         self.multimap = None
         self.async_mapper = None
+        self.viewer = None
         # Post-mapping consumers (loop closing, multi-map): the reference's
         # LocalMapping -> LoopClosing hand-off (`LocalMapping.cc:280`) —
         # they see a keyframe only after its mapping pass completed.
         self._kf_downstream = []
+        self._lost_streak = 0
         self._shutdown = False
 
     def _on_new_keyframe(self, slot, initial=False, preint=None):
@@ -98,6 +100,16 @@ class System:
         self.tracker.mapper_idle_query = self.async_mapper.idle
         self.tracker.mapping_interrupt = self.async_mapper.interrupt
         self.tracker.mapping_queue_len = self.async_mapper.queue_len
+
+    def enable_viewer(self, port: int = 0, **kw):
+        """Start the live HTTP viewer (ref: Viewer/FrameDrawer/MapDrawer
+        GUI thread, `System.cc:175-177` — re-expressed as an embedded
+        web server for headless TPU hosts, `viz/server.py`). Returns the
+        viewer; `viewer.port` holds the bound port (0 = ephemeral)."""
+        from orbslam3_tpu.viz.server import LiveViewer
+
+        self.viewer = LiveViewer(self, port=port, **kw)
+        return self.viewer
 
     def enable_multimap(self, vocabulary, **kw):
         """Atlas multi-map mode (ref `Tracking::CreateMapInAtlas` +
@@ -185,13 +197,22 @@ class System:
         lc = self.loop_closer
         if lc is not None and lc.gba_async is not None:
             lc.gba_async.join(self.store)
+        if self.viewer is not None:
+            self.viewer.close()
         self._shutdown = True
 
     def _swap_fresh_store(self):
+        s = self.store.state
+        self._attach_store(MapStore(Kmax=s.Kmax, Pmax=s.Pmax, Nf=s.Nf))
+
+    def _attach_store(self, new):
+        """Re-point every subsystem at `new` as the active map: tracker,
+        mapper (fresh preintegrations + IMU-init stage), loop closer (new
+        per-map KeyFrameDatabase — the reference keeps ONE database over
+        the whole Atlas, but our reloc/loop queries are per-map and the
+        multi-map manager holds its own per-map databases for merging)."""
         if self.async_mapper is not None:
             self.async_mapper.abort()  # in-flight kf ids are stale
-        s = self.store.state
-        new = MapStore(Kmax=s.Kmax, Pmax=s.Pmax, Nf=s.Nf)
         self.store = new
         self.tracker.store = new
         self.mapper.store = new
@@ -207,7 +228,7 @@ class System:
         if self.loop_closer is not None:
             from orbslam3_tpu.atlas.kfdb import KeyFrameDB
 
-            kfdb = KeyFrameDB(self.loop_closer.kfdb.voc, Kmax=s.Kmax)
+            kfdb = KeyFrameDB(self.loop_closer.kfdb.voc, Kmax=new.state.Kmax)
             self.loop_closer.kfdb = kfdb
             self.loop_closer.store = new
             self.loop_closer._pending = None
@@ -233,13 +254,7 @@ class System:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
         out = self.tracker.process_frame(img, timestamp)
-        self._tick_gba()
-        if self.mapper.bad_imu:
-            # Watchdog fired during mapping (`LocalMapping.cc:183-192`):
-            # not enough motion to ever initialize the IMU — restart.
-            self.reset_active_map()
-        if self.multimap is not None:
-            self.multimap.on_frame_done()
+        self._post_frame(img)
         return out
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
@@ -256,17 +271,48 @@ class System:
             )
         else:
             out = self.tracker.process_stereo_frame(img_left, img_right, timestamp)
-        self._tick_gba()
-        if self.mapper.bad_imu:
-            self.reset_active_map()
+        self._post_frame(img_left)
         return out
 
     def track_rgbd(self, img: np.ndarray, depth_map: np.ndarray, timestamp: float):
         """Ref `System::TrackRGBD` (`System.cc:265`)."""
         assert self.sensor == Sensor.RGBD
         out = self.tracker.process_rgbd_frame(img, depth_map, timestamp)
-        self._tick_gba()
+        self._post_frame(img)
         return out
+
+    def _post_frame(self, img):
+        """Per-frame hooks shared by every Track* entry: background work
+        slices, the bad-IMU watchdog (`LocalMapping.cc:183-192`), the
+        hard-LOST recovery policy, and the viewer."""
+        self._tick_gba()
+        if self.mapper.bad_imu:
+            # Watchdog fired during mapping: not enough motion to ever
+            # initialize the IMU — restart the active map.
+            self.reset_active_map()
+        elif self.multimap is not None:
+            self.multimap.on_frame_done()
+        else:
+            self._lost_recovery_fallback()
+        if self.viewer is not None:
+            self.viewer.update(img, self.tracker.last_frame)
+
+    def _lost_recovery_fallback(self):
+        """Hard-LOST policy without an Atlas manager (ref `Tracking::Track`
+        `Tracking.cc:1239-1257`: <10-KF map -> ResetActiveMap, else
+        CreateMapInAtlas). With no multi-map manager enabled there is
+        nowhere to store a built map, so only the small-map branch applies:
+        a map too thin to relocalize into is discarded and initialization
+        restarts; a built map keeps attempting relocalization in place."""
+        from orbslam3_tpu.pipeline.tracking import TrackState
+
+        if self.tracker.state != TrackState.LOST:
+            self._lost_streak = 0
+            return
+        self._lost_streak += 1
+        if self._lost_streak >= 5 and self.store.n_kf <= 10:
+            self.reset_active_map()
+            self._lost_streak = 0
 
     def _tick_gba(self):
         """Advance background work by one slice per frame: one stage of
