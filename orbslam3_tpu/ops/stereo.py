@@ -61,9 +61,13 @@ def match_stereo_rectified(
     disp_ok = (du >= 0.01) & (du <= max_d)
     oct_ok = jnp.abs(fl.octave[:, None] - fr_.octave[None, :]) <= 1
     mask = row_ok & disp_ok & oct_ok
+    # thOrbDist = (TH_HIGH + TH_LOW) / 2 (`Frame.cc:967`): the scanline
+    # accepts only comfortably-good descriptor matches; borderline ones
+    # are exactly the wrong-corner aliases that poison depth.
     m = matching.match_nn(
         fl.desc, fr_.desc, fl.valid, fr_.valid,
-        max_dist=matching.TH_HIGH, ratio=1.0, cross_check=False, extra_mask=mask,
+        max_dist=(matching.TH_HIGH + matching.TH_LOW) // 2,
+        ratio=1.0, cross_check=False, extra_mask=mask,
     )
 
     # --- SAD subpixel refinement (Frame.cc:1045-1105) -------------------
@@ -98,17 +102,24 @@ def match_stereo_rectified(
 
     sads = jax.vmap(sad_at, out_axes=1)(shifts)  # (N, 11)
     best = jnp.argmin(sads, axis=1)
+    # A minimum at the search-window edge means the true correlation
+    # minimum wasn't bracketed — REJECT, don't clamp (`Frame.cc:1080-1082`
+    # `if(bestincR==-L || bestincR==L) continue;`).
+    bracketed = (best > 0) & (best < 2 * W)
     best_c = jnp.clip(best, 1, 2 * W - 1)
     s_m1 = jnp.take_along_axis(sads, (best_c - 1)[:, None], 1)[:, 0]
     s_0 = jnp.take_along_axis(sads, best_c[:, None], 1)[:, 0]
     s_p1 = jnp.take_along_axis(sads, (best_c + 1)[:, None], 1)[:, 0]
     denom = s_m1 + s_p1 - 2 * s_0
     delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (s_m1 - s_p1) / denom, 0.0)
+    # |delta| > 1 = parabola vertex outside the 3-sample bracket — REJECT
+    # (`Frame.cc:1091-1093`), the quadratic model didn't fit.
+    delta_ok = jnp.abs(delta) <= 1.0
     delta = jnp.clip(delta, -1.0, 1.0)
     ur = xr0.astype(jnp.float32) + (best_c - W).astype(jnp.float32) + delta
 
     disparity = fl.uv[:, 0] - ur
-    ok = m.valid & (disparity > 0.01) & (disparity < max_d)
+    ok = m.valid & bracketed & delta_ok & (disparity > 0.01) & (disparity < max_d)
     # Median SAD outlier cut (1.5 * 1.4 * median, Frame.cc:1115-1130).
     best_sad = s_0
     med = jnp.median(jnp.where(ok, best_sad, jnp.nan))

@@ -91,7 +91,9 @@ class MultiMapManager:
         from orbslam3_tpu.pipeline.tracking import TrackState
 
         tr = self.system.tracker
-        if tr.state == TrackState.LOST:
+        if tr.state == TrackState.LOST and not tr.only_tracking:
+            # Localization mode never mutates the map (`Tracking.cc:1111-
+            # 1167` mbOnlyTracking: relocalization only).
             self.lost_streak += 1
         else:
             self.lost_streak = 0

@@ -306,7 +306,9 @@ class System:
         restarts; a built map keeps attempting relocalization in place."""
         from orbslam3_tpu.pipeline.tracking import TrackState
 
-        if self.tracker.state != TrackState.LOST:
+        if self.tracker.state != TrackState.LOST or self.tracker.only_tracking:
+            # Localization mode never mutates the map (`Tracking.cc:1111-
+            # 1167` mbOnlyTracking: relocalization only).
             self._lost_streak = 0
             return
         self._lost_streak += 1
@@ -347,6 +349,68 @@ class System:
         ts = np.asarray([t for t, _, _ in rows])
         pos = np.asarray([p for _, _, p in rows])
         return ts, pos
+
+    # -- Atlas checkpoint / resume (ref `System::SaveAtlas/LoadAtlas`,
+    # `System.h:163-165,180-186` — designed-but-dormant there, functional
+    # here; SURVEY §5.4) ------------------------------------------------
+    def save_atlas(self, path: str):
+        """Persist every map (multi-map Atlas if enabled, else the active
+        map wrapped as a one-map Atlas)."""
+        if self.multimap is not None:
+            self.multimap.atlas.imu_initialized = bool(self.tracker.imu_ready)
+            self.multimap.atlas.save(path)
+        else:
+            from orbslam3_tpu.atlas.atlas import Atlas
+
+            s = self.store.state
+            a = Atlas(Kmax=s.Kmax, Pmax=s.Pmax, Nf=s.Nf)
+            a.maps = [self.store]
+            a.active_idx = 0
+            a.imu_initialized = bool(self.tracker.imu_ready)
+            a.save(path)
+
+    def load_atlas(self, path: str):
+        """Restore a saved Atlas: re-point the pipeline at its active map,
+        rebuild the place-recognition indices (inverted files are derived
+        state — recomputed from the stored KF descriptors, like the
+        reference's PostLoad rewiring, `KeyFrameDatabase.cc:899-927`), and
+        drop tracking to LOST so per-frame relocalization re-attaches to
+        the loaded map."""
+        from orbslam3_tpu.atlas.atlas import Atlas
+        from orbslam3_tpu.pipeline.tracking import TrackState
+
+        atlas = Atlas.load(path)
+        act = atlas.active
+        self._attach_store(act)
+        if self.loop_closer is not None:
+            self._reindex_kfdb(self.loop_closer.kfdb, act)
+        if self.multimap is not None:
+            self.multimap.atlas = atlas
+            self.multimap.kfdbs = {}
+            for m in atlas.maps:
+                self._reindex_kfdb(self.multimap._kfdb(m), m)
+        tr = self.tracker
+        tr.last_frame = None
+        tr.init_frame = None
+        tr.ref_kf = -1
+        tr.last_kf_id = -1
+        tr.velocity = None
+        tr.pre_from_kf = None
+        tr.frame_prior = None
+        tr.imu_ready = bool(atlas.imu_initialized) and tr.imu_calib is not None
+        tr.state = (
+            TrackState.LOST if act.n_kf > 0 else TrackState.NOT_INITIALIZED
+        )
+
+    @staticmethod
+    def _reindex_kfdb(db, store):
+        s = store.state
+        kf_valid = np.asarray(s.kf_valid)
+        desc = np.asarray(s.kf_desc)
+        fvalid = np.asarray(s.kf_feat_valid)
+        for k in range(store.n_kf):
+            if kf_valid[k]:
+                db.add(k, jnp.asarray(desc[k]), jnp.asarray(fvalid[k]))
 
     def save_trajectory_tum(self, path: str):
         """Ref `System::SaveTrajectoryTUM` / `SaveTrajectoryEuRoC`."""

@@ -46,23 +46,33 @@ pts = np.stack(
 quad_shades = rng.uniform(50, 250, (n_pts, 2, 2)).astype(np.float32)
 
 
+# 3x supersampled rendering, box-downsampled: square edges land at
+# subpixel-consistent positions in BOTH eyes, so the stereo scanline
+# match + SAD subpixel refine see real ~1/3-px disparity signal instead
+# of integer-quantized edges (which biased depths and the metric scale).
+SS = 3
+params_ss = cam.make_pinhole(FOCAL * SS, FOCAL * SS, W * SS / 2, H * SS / 2)
+
+
 def render(Rcw, tcw):
-    img = np.full((H, W), 35.0, np.float32)
+    img = np.full((H * SS, W * SS), 35.0, np.float32)
     Xc = (Rcw @ pts.T).T + tcw
-    uv = np.asarray(cam.pinhole_project(params, jnp.asarray(Xc)))
+    uv = np.asarray(cam.pinhole_project(params_ss, jnp.asarray(Xc)))
     for i in np.argsort(-Xc[:, 2]):
         if Xc[i, 2] < 0.5:
             continue
         u, v = uv[i]
-        half = max(3, int(round(12.0 / Xc[i, 2] * 2)))
+        half = max(3 * SS, int(round(12.0 / Xc[i, 2] * 2 * SS)))
         ui, vi = int(round(u)), int(round(v))
-        if 1 <= ui < W - 1 and 1 <= vi < H - 1:
+        if 1 <= ui < W * SS - 1 and 1 <= vi < H * SS - 1:
             for qy in (0, 1):
                 for qx in (0, 1):
                     y0, y1 = (vi - half, vi) if qy == 0 else (vi, vi + half)
                     x0, x1 = (ui - half, ui) if qx == 0 else (ui, ui + half)
-                    img[max(y0, 0) : min(y1, H), max(x0, 0) : min(x1, W)] = quad_shades[i, qy, qx]
-    return img
+                    img[max(y0, 0) : min(y1, H * SS), max(x0, 0) : min(x1, W * SS)] = (
+                        quad_shades[i, qy, qx]
+                    )
+    return img.reshape(H, SS, W, SS).mean(axis=(1, 3))
 
 
 n_frames = 16

@@ -104,6 +104,9 @@ def main():
             if args.vocab:
                 bow.save_npz(args.vocab, voc)
         slam.enable_place_recognition(voc)
+        # Atlas multi-map recovery (always on in the reference,
+        # `Tracking.cc:1239-1257`).
+        slam.enable_multimap(voc)
 
     from orbslam3_tpu.utils import timing
     if os.environ.get("PROFILE"):

@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--pmax", type=int, default=65536)
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--vocab", default=None)
+    ap.add_argument("--timing", action="store_true",
+                    help="print the per-stage timing-span report at the end")
     ap.add_argument("--viewer", type=int, default=None, metavar="PORT",
                     help="serve the live viewer on this port (0=ephemeral)")
     args = ap.parse_args()
@@ -136,6 +138,10 @@ def main():
     if args.viewer is not None:
         v = slam.enable_viewer(port=args.viewer)
         print(f"live viewer: http://127.0.0.1:{v.port}/")
+    if args.timing:
+        from orbslam3_tpu.utils import timing as _timing
+
+        _timing.enable()
 
     cursor = 0
     t0 = time.perf_counter()
@@ -164,6 +170,10 @@ def main():
     slam.shutdown()  # drain any in-flight background GBA (ref System.cc:474)
     wall = time.perf_counter() - t0
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
+    if args.timing:
+        from orbslam3_tpu.utils import timing as _timing
+
+        _timing.print_report()
 
     ts_est, pos_est = slam.get_trajectory()
     if args.traj_format == "kitti":

@@ -86,3 +86,71 @@ def test_atlas_multi_map_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(atlas2.maps[0].state.kf_mp), np.asarray(atlas.maps[0].state.kf_mp)
     )
+
+
+@pytest.mark.slow
+def test_system_save_load_relocalize(rng, tmp_path):
+    """System-level checkpoint/resume (ref `System::SaveAtlas/LoadAtlas`,
+    `System.h:163-165` — dormant there, functional here): map a scene,
+    save, load into a FRESH System, and verify per-frame relocalization
+    re-attaches tracking to the loaded map with a consistent trajectory."""
+    from orbslam3_tpu.ops import bow
+    from orbslam3_tpu.ops import cameras as cam
+    from orbslam3_tpu.ops import features as feat
+    from orbslam3_tpu.system import System, Sensor
+    from orbslam3_tpu.pipeline.tracking import TrackState
+    from orbslam3_tpu.eval.ate import ate_rmse
+    from tests.test_e2e_mono import (
+        H, W, FOCAL, make_world, render, camera_path,
+    )
+
+    params = cam.make_pinhole(FOCAL, FOCAL, W / 2, H / 2)
+    pts, shades = make_world(rng)
+    poses = camera_path(12)
+    orb = feat.OrbParams(n_features=400, n_levels=3)
+
+    train = [
+        np.asarray(f.desc)[np.asarray(f.valid)]
+        for f in (
+            feat.extract(jnp.asarray(render(params, R, t, pts, shades)), orb)
+            for R, t in poses[::4]
+        )
+    ]
+    voc = bow.build_vocabulary(np.concatenate(train), k=8, depth=3, seed=0)
+
+    def fresh():
+        s = System(
+            Sensor.MONOCULAR, cam.CameraModel.PINHOLE, params, (W, H),
+            orb_params=orb, Kmax=32, Pmax=4096,
+        )
+        s.enable_place_recognition(voc, consecutive=1)
+        return s
+
+    slam = fresh()
+    for k, (R, t) in enumerate(poses):
+        slam.track_monocular(render(params, R, t, pts, shades), k * 0.1)
+    assert slam.tracking_state == TrackState.OK
+    n_kf_saved = slam.n_keyframes
+    ckpt = str(tmp_path / "atlas_ckpt")
+    slam.save_atlas(ckpt)
+
+    slam2 = fresh()
+    slam2.load_atlas(ckpt)
+    assert slam2.n_keyframes == n_kf_saved
+    assert slam2.tracking_state == TrackState.LOST
+    # Replay a mid-sequence stretch: relocalization must re-attach.
+    est = []
+    for k, (R, t) in list(enumerate(poses))[4:]:
+        slam2.track_monocular(render(params, R, t, pts, shades), 100.0 + k * 0.1)
+        if slam2.tracking_state == TrackState.OK:
+            est.append((100.0 + k * 0.1, k))
+    assert slam2.tracking_state == TrackState.OK, "never relocalized"
+    assert len(est) >= 4
+    ts_est, pos_est = slam2.get_trajectory()
+    keep = ts_est >= 100.0
+    gt = np.stack([-poses[k][0].T @ poses[k][1] for _, k in est])
+    err = ate_rmse(
+        ts_est[keep], pos_est[keep], np.asarray([t for t, _ in est]), gt,
+        with_scale=True, max_dt=0.01,
+    )
+    assert err < 0.08, f"post-load ATE {err:.4f} m"

@@ -32,6 +32,54 @@ def test_rectified_stereo_depth(rng):
     assert np.median(np.abs(disp - disparity)) < 0.5
 
 
+def test_rectified_stereo_fractional_disparity(rng):
+    """Fractional-disparity pair on a DISTINCTIVE scene: the SAD refine
+    must either bracket its minimum inside the +-5 px window and fit
+    |delta|<=1, or reject the match (`Frame.cc:1080-1093` rejects edge
+    minima and out-of-bracket parabola vertices instead of clamping).
+    Survivors must carry subpixel-accurate disparity."""
+    H, W, SS = 240, 320, 3
+    z, B, focal = 5.0, 0.12, 260.0
+    disparity = focal * B / z  # 6.24 px, deliberately fractional
+    n = 60
+    cx = rng.uniform(20, W - 20, n)
+    cy = rng.uniform(20, H - 20, n)
+    shade = rng.uniform(60, 250, (n, 2, 2)).astype(np.float32)
+
+    def render(eye_x):
+        img = np.full((H * SS, W * SS), 35.0, np.float32)
+        for i in range(n):
+            # Constant-depth wall: horizontal shift = focal * eye_x / z.
+            u = int(round((cx[i] - focal * eye_x / z) * SS))
+            v = int(round(cy[i] * SS))
+            h = 7 * SS
+            for qy in (0, 1):
+                for qx in (0, 1):
+                    y0, y1 = (v - h, v) if qy == 0 else (v, v + h)
+                    x0, x1 = (u - h, u) if qx == 0 else (u, u + h)
+                    img[max(y0, 0) : max(min(y1, H * SS), 0),
+                        max(x0, 0) : max(min(x1, W * SS), 0)] = shade[i, qy, qx]
+        return img.reshape(H, SS, W, SS).mean(axis=(1, 3))
+
+    img_l = render(0.0)
+    img_r = render(B)
+    fl = feat.extract(jnp.asarray(img_l), SMALL)
+    fr_ = feat.extract(jnp.asarray(img_r), SMALL)
+    bf = focal * B
+    sm = stereo.match_stereo_rectified(
+        fl, fr_, jnp.asarray(img_l), jnp.asarray(img_r), bf,
+        jnp.asarray(feat.scale_factors(SMALL)),
+    )
+    ok = np.asarray(sm.valid)
+    assert ok.sum() > 30
+    disp = np.asarray(fl.uv)[ok, 0] - np.asarray(sm.ur)[ok]
+    err = np.abs(disp - disparity)
+    assert np.median(err) < 0.5
+    # The rejection gates bound the tail: without them wrong window-edge
+    # minima admit multi-pixel disparity errors (>40% depth error).
+    assert np.percentile(err, 90) < 1.5
+
+
 def test_rgbd_ur(rng):
     uv = jnp.asarray([[100.0, 50.0], [10.0, 10.0]])
     depth_map = jnp.full((240, 320), 2.0)
