@@ -207,6 +207,8 @@ ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
 """
 
+BASELINE_M = 0.11  # EuRoC-like stereo baseline (metres), --stereo only
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -214,6 +216,10 @@ def main():
     ap.add_argument("--frames", type=int, default=1600)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--start-ns", type=int, default=1403636579763555584)
+    ap.add_argument("--stereo", action="store_true",
+                    help="also render a rectified right camera (mav0/cam1)"
+                         f" at a {BASELINE_M} m baseline; settings gain"
+                         " Camera.bf")
     args = ap.parse_args()
 
     import cv2
@@ -227,17 +233,29 @@ def main():
     os.makedirs(cam_dir, exist_ok=True)
     os.makedirs(imu_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
+    cam1_dir = os.path.join(args.out_dir, "mav0", "cam1", "data")
+    if args.stereo:
+        os.makedirs(cam1_dir, exist_ok=True)
 
+    yaml_text = SETTINGS_YAML
+    if args.stereo:
+        yaml_text += f"Camera.bf: {FX * BASELINE_M}\nThDepth: 35.0\n"
     with open(os.path.join(args.out_dir, "settings.yaml"), "w") as f:
-        f.write(SETTINGS_YAML)
+        f.write(yaml_text)
 
     n = args.frames
     dt_cam = 1.0 / CAM_HZ
     # --- camera frames + cam0/data.csv + ground truth -------------------
+    fc1 = (
+        open(os.path.join(args.out_dir, "mav0", "cam1", "data.csv"), "w")
+        if args.stereo else None
+    )
     with open(os.path.join(args.out_dir, "mav0", "cam0", "data.csv"), "w") as fc, open(
         os.path.join(gt_dir, "data.csv"), "w"
     ) as fg:
         fc.write("#timestamp [ns],filename\n")
+        if fc1 is not None:
+            fc1.write("#timestamp [ns],filename\n")
         fg.write("#timestamp,p_x,p_y,p_z,q_w,q_x,q_y,q_z\n")
         for k in range(n):
             t = k * dt_cam
@@ -248,6 +266,16 @@ def main():
             img = np.clip(img + rng.normal(0, 1.5, img.shape), 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
             fc.write(f"{ns},{ns}.png\n")
+            if fc1 is not None:
+                # Rectified right eye: camera centre displaced along the
+                # camera x-axis by the baseline, same orientation.
+                p_r = p + R_wc @ np.array([BASELINE_M, 0.0, 0.0])
+                img_r = render(tex, R_wc, p_r)
+                img_r = np.clip(
+                    img_r + rng.normal(0, 1.5, img_r.shape), 0, 255
+                ).astype(np.uint8)
+                cv2.imwrite(os.path.join(cam1_dir, f"{ns}.png"), img_r)
+                fc1.write(f"{ns},{ns}.png\n")
             qw, qx, qy, qz = rot_to_quat_wxyz(R_wc)
             fg.write(
                 f"{ns},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f},"
@@ -279,6 +307,8 @@ def main():
                 f"{acc[0]:.6f},{acc[1]:.6f},{acc[2]:.6f}\n"
             )
 
+    if fc1 is not None:
+        fc1.close()
     print(f"wrote {n} frames + {n_imu} IMU samples -> {args.out_dir}")
 
 

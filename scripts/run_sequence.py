@@ -45,7 +45,7 @@ def main():
     ap.add_argument("seq_dir")
     ap.add_argument("--dataset", choices=["euroc", "tumvi", "kitti", "tumrgbd"],
                     default="euroc")
-    ap.add_argument("--mode", choices=["mono", "mono-vi", "stereo", "rgbd"],
+    ap.add_argument("--mode", choices=["mono", "mono-vi", "stereo", "stereo-vi", "rgbd"],
                     default="mono")
     ap.add_argument("--assoc", default=None, help="TUM RGB-D associations file")
     ap.add_argument("--timestamps", default=None, help="EuRoC timestamp list")
@@ -73,6 +73,10 @@ def main():
 
     if args.dataset in ("euroc", "tumvi"):
         seq = datasets.load_euroc_images(args.seq_dir, args.timestamps)
+        if args.mode in ("stereo", "stereo-vi"):
+            seq.paths_right = datasets.load_euroc_images(
+                args.seq_dir, args.timestamps, cam="cam1"
+            ).paths
     elif args.dataset == "kitti":
         seq = datasets.load_kitti(args.seq_dir)
     else:
@@ -83,7 +87,7 @@ def main():
 
     imu_calib = None
     imu = None
-    if args.mode == "mono-vi":
+    if args.mode in ("mono-vi", "stereo-vi"):
         assert settings.imu is not None, "settings lack an IMU section"
         ic = settings.imu
         imu_calib = imu_ops.ImuCalib.create(
@@ -97,6 +101,7 @@ def main():
         "mono": Sensor.MONOCULAR,
         "mono-vi": Sensor.IMU_MONOCULAR,
         "stereo": Sensor.STEREO,
+        "stereo-vi": Sensor.IMU_STEREO,
         "rgbd": Sensor.RGBD,
     }[args.mode]
     camera2 = None
@@ -147,14 +152,20 @@ def main():
     t0 = time.perf_counter()
     for k in range(n):
         ts = float(seq.timestamps[k])
-        if args.mode == "mono-vi":
+        if args.mode in ("mono-vi", "stereo-vi"):
             hi = np.searchsorted(imu.timestamps, ts, side="right")
             batch = [
                 (imu.timestamps[j], imu.acc[j], imu.gyro[j])
                 for j in range(cursor, hi)
             ]
             cursor = hi
-            slam.track_monocular(seq.read(k), ts, imu_measurements=batch or None)
+            if args.mode == "mono-vi":
+                slam.track_monocular(seq.read(k), ts, imu_measurements=batch or None)
+            else:
+                slam.track_stereo(
+                    seq.read(k), seq.read_right(k), ts,
+                    imu_measurements=batch or None,
+                )
         elif args.mode == "stereo":
             slam.track_stereo(seq.read(k), seq.read_right(k), ts)
         elif args.mode == "rgbd":
