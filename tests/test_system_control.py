@@ -104,3 +104,29 @@ def test_imu_watchdog_fires_on_stationary_kfs():
         store.state = s
         mapper._imu_watchdog(2)
         assert mapper.bad_imu == expect, f"motion={motion}"
+
+
+def test_lost_recovery_fallback_resets_small_map():
+    """Hard-LOST policy without a multi-map manager (`Tracking::Track`
+    `Tracking.cc:1239-1243`): a thin map (<= 10 KFs) is discarded after a
+    short LOST streak and initialization restarts; localization-only mode
+    never mutates the map."""
+    slam, _ = _build_slam()
+    tr = slam.tracker
+    old_store = slam.store
+    tr.state = TrackState.LOST
+    slam.store.alloc_kf()  # 1-KF map: thin
+
+    # Localization mode: 10 lost frames, nothing resets.
+    tr.only_tracking = True
+    for _ in range(10):
+        slam._post_frame(np.zeros((H, W), np.float32))
+    assert slam.store is old_store
+    assert tr.state == TrackState.LOST
+
+    # SLAM mode: 5-frame streak triggers the reset.
+    tr.only_tracking = False
+    for _ in range(5):
+        slam._post_frame(np.zeros((H, W), np.float32))
+    assert slam.store is not old_store
+    assert tr.state == TrackState.NO_IMAGES_YET or tr.state == TrackState.NOT_INITIALIZED
