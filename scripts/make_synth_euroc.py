@@ -66,13 +66,43 @@ def make_textures(rng):
 FACES = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
 
 
-def render(tex, R_wc, p_wc, wh=(W, H), intr=(FX, FY, CX, CY)):
-    """Ray-cast the box: grayscale (H, W) float32 image. `wh`/`intr` let
-    smaller drives (drive_loop.py) reuse the renderer at low resolution."""
+def kb8_dir_grid(wh, intr):
+    """Per-pixel unit-depth ray directions for a Kannala-Brandt8 fisheye
+    (equidistant polynomial, `KannalaBrandt8.cpp:103-131` semantics):
+    solve d(theta)=r by Newton per pixel, once per camera (intrinsics are
+    constant so the grid is precomputed and reused across frames)."""
     W_, H_ = wh
-    fx, fy, cx, cy = intr
-    u, v = np.meshgrid(np.arange(W_, dtype=np.float32), np.arange(H_, dtype=np.float32))
-    d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
+    fx, fy, cx, cy, k1, k2, k3, k4 = intr
+    u, v = np.meshgrid(np.arange(W_, dtype=np.float64), np.arange(H_, dtype=np.float64))
+    mx = (u - cx) / fx
+    my = (v - cy) / fy
+    r = np.sqrt(mx * mx + my * my)
+    th = np.minimum(r, np.pi * 0.55)
+    for _ in range(10):
+        t2 = th * th
+        d = th * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        dd = 1 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + 9 * k4 * t2)))
+        th = th - (d - r) / dd
+    s = np.where(r > 1e-9, np.sin(th) / np.maximum(r, 1e-9), 1.0)
+    return np.stack([mx * s, my * s, np.cos(th)], axis=-1).astype(np.float32)
+
+
+def render(tex, R_wc, p_wc, wh=(W, H), intr=(FX, FY, CX, CY), dirs=None):
+    """Ray-cast the box: grayscale (H, W) float32 image. `wh`/`intr` let
+    smaller drives (drive_loop.py) reuse the renderer at low resolution;
+    `dirs` (H, W, 3) overrides the pinhole ray grid (fisheye mode)."""
+    W_, H_ = wh
+    if dirs is None:
+        fx, fy, cx, cy = intr
+        u, v = np.meshgrid(
+            np.arange(W_, dtype=np.float32), np.arange(H_, dtype=np.float32)
+        )
+        d_cam = np.stack(
+            [(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1
+        )
+    else:
+        d_cam = dirs
+    H_, W_ = d_cam.shape[0], d_cam.shape[1]
     d_w = d_cam @ R_wc.T  # (H, W, 3)
     o = p_wc.astype(np.float32)
 
@@ -113,15 +143,20 @@ def render(tex, R_wc, p_wc, wh=(W, H), intr=(FX, FY, CX, CY)):
     return img
 
 
+# Trajectory parameters (rescaled by --fisheye for the smaller room).
+T_LOOP = 60.0
+TRAJ_R = 2.5
+TRAJ_Z = 1.5
+
+
 def pose_at(t):
-    """Analytic trajectory: circle of radius ~2.5 m about the room center
-    at ~1.5 m height, heading tangent, with bobbing + radial pumping +
+    """Analytic trajectory: circle of radius ~TRAJ_R about the room center
+    at ~TRAJ_Z height, heading tangent, with bobbing + radial pumping +
     small attitude wobble for IMU excitation. Returns (R_wc, p_w).
     Camera convention: z forward, x right, y down; Tbc = identity."""
-    T_LOOP = 60.0
     th = 2 * np.pi * t / T_LOOP
-    r = 2.5 + 0.15 * np.sin(2 * np.pi * t / 4.1)
-    z = 1.5 + 0.12 * np.sin(2 * np.pi * t / 2.5)
+    r = TRAJ_R + 0.15 * np.sin(2 * np.pi * t / 4.1)
+    z = TRAJ_Z + 0.12 * np.sin(2 * np.pi * t / 2.5)
     p = np.array([r * np.cos(th), r * np.sin(th), z])
     d = np.array([-np.sin(th), np.cos(th), 0.0])  # tangent, ccw
     # attitude wobble: yaw/pitch offsets (rad)
@@ -209,6 +244,68 @@ ORBextractor.minThFAST: 7
 
 BASELINE_M = 0.11  # EuRoC-like stereo baseline (metres), --stereo only
 
+# --fisheye: TUM-VI-style stereo KB8 rig (512x512 @ 20 Hz, ~0.15 m base).
+FE_W = FE_H = 512
+FE_INTR_L = (190.97, 190.97, 254.93, 256.90,
+             0.0034823894, 0.00071503485, -0.0020532361, 0.00020293674)
+FE_INTR_R = (190.44, 190.44, 252.20, 254.00,
+             0.0034003171, 0.0017662782, -0.0026631257, 0.00032995174)
+FE_BASELINE_M = 0.15
+
+FE_SETTINGS_YAML = f"""%YAML:1.0
+# Synthetic TUM-VI-format stereo-fisheye sequence (make_synth_euroc.py --fisheye)
+Camera.type: "KannalaBrandt8"
+Camera.fx: {FE_INTR_L[0]}
+Camera.fy: {FE_INTR_L[1]}
+Camera.cx: {FE_INTR_L[2]}
+Camera.cy: {FE_INTR_L[3]}
+Camera.k1: {FE_INTR_L[4]}
+Camera.k2: {FE_INTR_L[5]}
+Camera.k3: {FE_INTR_L[6]}
+Camera.k4: {FE_INTR_L[7]}
+Camera.width: {FE_W}
+Camera.height: {FE_H}
+Camera.fps: {CAM_HZ}
+Camera.RGB: 1
+Camera.lappingBegin: 0
+Camera.lappingEnd: {FE_W - 1}
+Camera2.fx: {FE_INTR_R[0]}
+Camera2.fy: {FE_INTR_R[1]}
+Camera2.cx: {FE_INTR_R[2]}
+Camera2.cy: {FE_INTR_R[3]}
+Camera2.k1: {FE_INTR_R[4]}
+Camera2.k2: {FE_INTR_R[5]}
+Camera2.k3: {FE_INTR_R[6]}
+Camera2.k4: {FE_INTR_R[7]}
+Camera2.lappingBegin: 0
+Camera2.lappingEnd: {FE_W - 1}
+Tlr: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, {FE_BASELINE_M},
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0]
+Tbc: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.0,
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -220,9 +317,25 @@ def main():
                     help="also render a rectified right camera (mav0/cam1)"
                          f" at a {BASELINE_M} m baseline; settings gain"
                          " Camera.bf")
+    ap.add_argument("--fisheye", action="store_true",
+                    help="TUM-VI-style stereo KB8 rig: 512x512 fisheye pair"
+                         f" (mav0/cam0+cam1, {FE_BASELINE_M} m baseline),"
+                         " smaller room, KannalaBrandt8+Camera2+Tlr settings"
+                         " (BASELINE config 4)")
     args = ap.parse_args()
 
     import cv2
+
+    global BOX_LO, BOX_HI, TRAJ_R, TRAJ_Z, T_LOOP
+    dirs_l = dirs_r = None
+    if args.fisheye:
+        # TUM-VI room scale: smaller box, tighter circle, faster lap for
+        # IMU excitation; wide-FOV rays keep the walls in view throughout.
+        BOX_LO = np.array([-3.5, -3.5, 0.0])
+        BOX_HI = np.array([3.5, 3.5, 3.0])
+        TRAJ_R, TRAJ_Z, T_LOOP = 1.4, 1.3, 40.0
+        dirs_l = kb8_dir_grid((FE_W, FE_H), FE_INTR_L)
+        dirs_r = kb8_dir_grid((FE_W, FE_H), FE_INTR_R)
 
     rng = np.random.default_rng(args.seed)
     tex = make_textures(rng)
@@ -233,13 +346,17 @@ def main():
     os.makedirs(cam_dir, exist_ok=True)
     os.makedirs(imu_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
+    stereo_pair = args.stereo or args.fisheye
     cam1_dir = os.path.join(args.out_dir, "mav0", "cam1", "data")
-    if args.stereo:
+    if stereo_pair:
         os.makedirs(cam1_dir, exist_ok=True)
 
-    yaml_text = SETTINGS_YAML
-    if args.stereo:
-        yaml_text += f"Camera.bf: {FX * BASELINE_M}\nThDepth: 35.0\n"
+    if args.fisheye:
+        yaml_text = FE_SETTINGS_YAML
+    else:
+        yaml_text = SETTINGS_YAML
+        if args.stereo:
+            yaml_text += f"Camera.bf: {FX * BASELINE_M}\nThDepth: 35.0\n"
     with open(os.path.join(args.out_dir, "settings.yaml"), "w") as f:
         f.write(yaml_text)
 
@@ -248,8 +365,9 @@ def main():
     # --- camera frames + cam0/data.csv + ground truth -------------------
     fc1 = (
         open(os.path.join(args.out_dir, "mav0", "cam1", "data.csv"), "w")
-        if args.stereo else None
+        if stereo_pair else None
     )
+    base = FE_BASELINE_M if args.fisheye else BASELINE_M
     with open(os.path.join(args.out_dir, "mav0", "cam0", "data.csv"), "w") as fc, open(
         os.path.join(gt_dir, "data.csv"), "w"
     ) as fg:
@@ -261,16 +379,16 @@ def main():
             t = k * dt_cam
             ns = args.start_ns + int(round(t * 1e9))
             R_wc, p = pose_at(t)
-            img = render(tex, R_wc, p)
+            img = render(tex, R_wc, p, dirs=dirs_l)
             # mild sensor noise + quantize
             img = np.clip(img + rng.normal(0, 1.5, img.shape), 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
             fc.write(f"{ns},{ns}.png\n")
             if fc1 is not None:
-                # Rectified right eye: camera centre displaced along the
-                # camera x-axis by the baseline, same orientation.
-                p_r = p + R_wc @ np.array([BASELINE_M, 0.0, 0.0])
-                img_r = render(tex, R_wc, p_r)
+                # Right eye: camera centre displaced along the camera
+                # x-axis by the baseline, same orientation (Tlr = [I|b]).
+                p_r = p + R_wc @ np.array([base, 0.0, 0.0])
+                img_r = render(tex, R_wc, p_r, dirs=dirs_r)
                 img_r = np.clip(
                     img_r + rng.normal(0, 1.5, img_r.shape), 0, 255
                 ).astype(np.uint8)

@@ -105,7 +105,7 @@ def main():
         "rgbd": Sensor.RGBD,
     }[args.mode]
     camera2 = None
-    if args.mode == "stereo" and settings.camera.params2 is not None:
+    if args.mode in ("stereo", "stereo-vi") and settings.camera.params2 is not None:
         camera2 = (settings.camera.params2, settings.camera.T_c1_c2,
                    settings.camera.lapping1, settings.camera.lapping2)
     slam = System(

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -106,3 +107,57 @@ def test_correct_points_consistency(rng):
     lhs = (s_new * (R_new @ np.asarray(out).T)).T + t_new
     rhs = (R_old @ pts.T).T + t_old
     np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pose_graph_at_atlas_scale(rng):
+    """512-KF essential graph (Atlas-scale): consecutive + 2-hop
+    'covisibility' edges + one loop edge — the dense (7K,7K) formulation
+    must stay tractable and still close the loop. Guards the design claim
+    in pose_graph.py's docstring (single dense solve up to K~1024; the
+    reference's g2o solves the same graph sparsely, `Optimizer.cc:2526`)."""
+    import time
+
+    K = 512
+    R_true, t_true, R_est, t_est = drifted_loop(rng, K, drift_rot=5e-4,
+                                                drift_t=2e-3, drift_s=1.0005)
+    ei, ej, eR, et, es, ew = [], [], [], [], [], []
+    for hop in (1, 2):
+        for k in range(hop, K):
+            Rba = R_est[k] @ R_est[k - hop].T
+            tba = t_est[k] - Rba @ t_est[k - hop]
+            ei.append(k - hop); ej.append(k)
+            eR.append(Rba); et.append(tba); es.append(1.0); ew.append(1.0)
+    Rba = R_true[0] @ R_true[K - 1].T
+    tba = t_true[0] - Rba @ t_true[K - 1]
+    ei.append(K - 1); ej.append(0)
+    eR.append(Rba); et.append(tba); es.append(1.0); ew.append(5.0)
+
+    g = pg.PoseGraph(
+        R=jnp.asarray(R_est), t=jnp.asarray(t_est), s=jnp.ones(K),
+        fixed=jnp.asarray(np.arange(K) == 0),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        edge_R=jnp.asarray(np.stack(eR), jnp.float32),
+        edge_t=jnp.asarray(np.stack(et), jnp.float32),
+        edge_s=jnp.asarray(es, jnp.float32),
+        edge_valid=jnp.ones(len(ei), bool),
+        edge_weight=jnp.asarray(ew, jnp.float32),
+    )
+    R_out, t_out, s_out = pg.solve_pose_graph(g, iters=8)
+    R_out = np.asarray(jax.block_until_ready(R_out))
+    t0 = time.perf_counter()
+    R2, t2, s2 = pg.solve_pose_graph(g, iters=8)
+    jax.block_until_ready(t2)
+    dt = time.perf_counter() - t0
+    print(f"512-KF pose graph, {len(ei)} edges, 8 GN iters: {dt:.2f}s")
+
+    def end_err(Rs, ts):
+        c_est = -np.asarray(Rs[K - 1]).T @ np.asarray(ts[K - 1])
+        c_true = -R_true[K - 1].T @ t_true[K - 1]
+        return np.linalg.norm(c_est - c_true)
+
+    before = end_err(R_est, t_est)
+    after = end_err(R_out, np.asarray(t_out))
+    assert before > 0.05, f"test setup: drift too small ({before})"
+    assert after < before * 0.35, (before, after)
+    assert np.abs(np.asarray(s_out) - 1.0).max() < 0.1
