@@ -153,7 +153,13 @@ def main():
     # GBA (PCG).
     ba_local_ms = bench_ba(C=72, P=8192, obs_per_cam=512, iters=5,
                            dense_schur=True, n_fixed=48)
-    ba_global_ms = bench_ba(C=128, P=16384, obs_per_cam=512, iters=5)
+    # Global bucket mirrors the production GBA dispatch (pipeline/gba.py):
+    # dense explicit-Schur up to the auto_dense_schur memory cutoff
+    # (128 KF x 16k points is inside it; full-capacity Atlas GBA beyond
+    # the cutoff stays matrix-free PCG).
+    from orbslam3_tpu.optim import ba as _ba
+    ba_global_ms = bench_ba(C=128, P=16384, obs_per_cam=512, iters=5,
+                            dense_schur=_ba.auto_dense_schur(128, 16384))
 
     # Amortized whole-pipeline estimate: per-KF mapping (triangulation +
     # LBA) lands every ~14 frames at the measured replay cadence (115 KFs

@@ -135,6 +135,16 @@ def _robust_cost(chi2, ok, is_stereo):
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
+def auto_dense_schur(C: int, P: int) -> bool:
+    """Pick the explicit-reduced-camera-system path when its dense
+    (P,C,3,6) coupling-block tensor fits comfortably in HBM (~300 MB for
+    W + the same for Hpp^-1 W): one exact 6Cx6C solve replaces ~50 PCG
+    matvec dispatches — measured 86 -> 28 ms/iter at a 128-KF/16k-point
+    GBA on v5e. Past the cutoff (e.g. Kmax=512 x Pmax=65536 full-capacity
+    Atlas GBA) the matrix-free PCG path wins on memory."""
+    return C * P <= 128 * 16384 * 2
+
+
 def solve_ba(
     model: cam.CameraModel,
     params: jnp.ndarray,

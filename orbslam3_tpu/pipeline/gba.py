@@ -32,7 +32,10 @@ def _gba_jit(model, params, state: st.MapState, fixed, sigma2_table, bf, iters, 
         obs_uv=state.kf_uv.reshape(-1, 2), obs_ur=state.kf_ur.reshape(-1),
         obs_sigma2=s2, obs_valid=obs_valid,
     )
-    res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters, pcg_iters=pcg_iters)
+    res = ba_mod.solve_ba(
+        model, params, prob, bf=bf, iters=iters, pcg_iters=pcg_iters,
+        dense_schur=ba_mod.auto_dense_schur(K, state.Pmax),
+    )
     new_state = state._replace(
         kf_R=jnp.where(fixed[:, None, None], state.kf_R, res.cam_R),
         kf_t=jnp.where(fixed[:, None], state.kf_t, res.cam_t),

@@ -484,7 +484,12 @@ class LoopCloser:
             obs_uv=s.kf_uv.reshape(-1, 2), obs_ur=s.kf_ur.reshape(-1),
             obs_sigma2=s2, obs_valid=obs_valid,
         )
-        res = ba_mod.solve_ba(self.model, self.params, prob, iters=10, pcg_iters=50)
+        res = ba_mod.solve_ba(
+            self.model, self.params, prob, iters=10, pcg_iters=50,
+            dense_schur=ba_mod.auto_dense_schur(
+                int(s.kf_R.shape[0]), int(s.mp_pos.shape[0])
+            ),
+        )
         self.store.state = s._replace(
             kf_R=jnp.where(jnp.asarray(fixed)[:, None, None], s.kf_R, res.cam_R),
             kf_t=jnp.where(jnp.asarray(fixed)[:, None], s.kf_t, res.cam_t),
