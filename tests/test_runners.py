@@ -127,3 +127,33 @@ def test_tum_rgbd_runner(rng, tmp_path):
     assert f"[{len(poses) - 1}/{len(poses)}] state=OK" in out
     rows = np.loadtxt(tmp_path / "traj.txt")
     assert rows.ndim == 2 and len(rows) >= 5
+
+
+@pytest.mark.slow
+def test_tumvi_stereo_vi_fisheye_runner(tmp_path):
+    """BASELINE config 4 path through the runner: generate a short
+    TUM-VI-format stereo-fisheye sequence (--fisheye: KB8 pair + IMU) and
+    replay it with --mode stereo-vi — exercises the Camera2/Tlr rig
+    wiring in run_sequence plus the two-camera KB8 + inertial pipeline.
+    Metric gate: stereo fixes scale, so SE3 ATE (no scale alignment)
+    must come out in centimetres."""
+    import re
+
+    gen = os.path.join(REPO, "scripts", "make_synth_euroc.py")
+    seq = tmp_path / "fe"
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, gen, str(seq), "--frames", "16", "--fisheye"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    log = _run([
+        str(seq / "settings.yaml"), str(seq), "--dataset", "tumvi",
+        "--mode", "stereo-vi", "--no-loop", "--kmax", "32",
+        "--pmax", "8192", "--out", str(tmp_path / "traj.txt"),
+        "--kf-out", str(tmp_path / "kf.txt"),
+    ], timeout=1800)
+    assert "state=OK" in log
+    m = re.search(r"ATE RMSE: ([0-9.]+) m", log)
+    assert m, log[-2000:]
+    assert float(m.group(1)) < 0.05, log[-2000:]
