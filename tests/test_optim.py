@@ -142,3 +142,35 @@ def test_ba_stereo_observations(rng):
     res = ba.solve_ba(scene["model"], scene["params"], prob2, bf=bf, iters=10, pcg_iters=40)
     for c in range(1, 4):
         assert np.linalg.norm(np.asarray(res.cam_t)[c] - ts[c]) < 2e-2
+
+
+def test_ba_dense_schur_matches_pcg(rng):
+    """The explicit-reduced-camera-system path (auto-dispatched for
+    loop/GBA sizes by `ba.auto_dense_schur`) and the matrix-free PCG path
+    are the same math — from the same perturbed start both must converge
+    to the same poses/points."""
+    scene = make_scene(rng, n_cams=6, n_pts=120)
+    prob = _ba_problem_from_scene(scene)
+    prob = prob._replace(
+        cam_t=prob.cam_t + jnp.asarray(
+            rng.normal(0, 0.02, prob.cam_t.shape).astype(np.float32)
+            * (~np.asarray(prob.cam_fixed))[:, None]
+        ),
+        points=prob.points + jnp.asarray(
+            rng.normal(0, 0.03, prob.points.shape).astype(np.float32)
+        ),
+    )
+    r_pcg = ba.solve_ba(scene["model"], scene["params"], prob,
+                        iters=12, pcg_iters=60)
+    r_dense = ba.solve_ba(scene["model"], scene["params"], prob,
+                          iters=12, dense_schur=True)
+    assert float(r_pcg.cost) < 1e-1 and float(r_dense.cost) < 1e-1
+    np.testing.assert_allclose(
+        np.asarray(r_dense.cam_t), np.asarray(r_pcg.cam_t), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_dense.points), np.asarray(r_pcg.points), atol=5e-3
+    )
+    # Dispatch cutoff sanity: GBA bench size is dense, Atlas capacity not.
+    assert ba.auto_dense_schur(128, 16384)
+    assert not ba.auto_dense_schur(512, 65536)
