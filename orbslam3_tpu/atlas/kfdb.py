@@ -130,3 +130,15 @@ class KeyFrameDB:
         return detect_candidates(
             vec, words, self.vecs, self.valid, jnp.zeros(K, bool), covis, n_best
         )
+
+    def query_frame_sharded(self, desc, feat_valid, dist, n_best: int = 5):
+        """Same query scored over a device mesh: the (K, n_words) BoW
+        matrix is sharded along K and each shard's top-k is all-gathered
+        (SURVEY §5.8 "each host scores its KF shard"). Used by the Atlas
+        merge path when a DistributedContext is enabled — at Atlas scale
+        the stored maps' BoW matrices are the state worth sharding.
+        Covisibility-group accumulation is skipped (candidates are Sim3-
+        verified individually downstream)."""
+        words = bow_ops.transform(self.voc, desc, feat_valid)
+        vec = bow_ops.bow_vector(self.voc, words)
+        return dist.kfdb_query(vec, words, self.vecs, self.valid, n_best=n_best)

@@ -135,14 +135,26 @@ def _robust_cost(chi2, ok, is_stereo):
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
-def auto_dense_schur(C: int, P: int) -> bool:
-    """Pick the explicit-reduced-camera-system path when its dense
-    (P,C,3,6) coupling-block tensor fits comfortably in HBM (~300 MB for
-    W + the same for Hpp^-1 W): one exact 6Cx6C solve replaces ~50 PCG
-    matvec dispatches — measured 86 -> 28 ms/iter at a 128-KF/16k-point
-    GBA on v5e. Past the cutoff (e.g. Kmax=512 x Pmax=65536 full-capacity
-    Atlas GBA) the matrix-free PCG path wins on memory."""
-    return C * P <= 128 * 16384 * 2
+def auto_dense_schur(C: int, P: int, hbm_budget_bytes: int = 8 << 30) -> bool:
+    """Pick the explicit-reduced-camera-system path when its PEAK HBM fits
+    the budget; otherwise the matrix-free PCG path wins on memory.
+
+    Peak accounting (not just the resident W): `_solve_ba_dense`'s
+    accept/reject fori_loop carries TWO linearizations — the accepted base
+    and the candidate — each holding the (P,C,3,6) coupling tensor W *and*
+    HW = Hpp^-1 W, plus a transposed reshape copy of each alive during the
+    (6C,3P)@(3P,6C) reduced-system matmul. That is ~4 tensors of
+    C*P*18 f32 live at once, ~5 with the matmul scratch: peak ≈
+    5 * C*P*72 bytes. At the former C*P = 128*16384*2 cutoff this is
+    ~1.5 GB — fine on a 16 GB chip, several times the old docstring's
+    "~300 MB for W" estimate (round-3 advisor finding).
+
+    The win past the cutoff: one exact 6Cx6C solve replaces ~50 PCG matvec
+    dispatches — measured 86 -> 28 ms/iter at a 128-KF/16k-point GBA on
+    v5e. Nf/O terms are ignored: observation-sized buffers are shared by
+    both paths and don't differentiate them."""
+    peak_bytes = 5 * C * P * 18 * 4
+    return peak_bytes <= hbm_budget_bytes
 
 
 def solve_ba(

@@ -65,12 +65,17 @@ class LoopCloser:
         img_wh=None,
         scale_table=None,
         mapper=None,
+        bf: float = 0.0,
     ):
         self.model = model
         self.params = params
         self.store = store
         self.kfdb = kfdb
         self.sigma2_table = sigma2_table
+        # Stereo baseline*fx: the virtual-stereo residual ur_hat = u - bf/z
+        # in global BA needs it on rectified-stereo maps (AsyncGBA gets it
+        # at construction; the synchronous fallback here must match).
+        self.bf = bf
         self.min_bow_matches = min_bow_matches
         self.min_sim3_inliers = min_sim3_inliers
         self.min_kfs = min_kfs
@@ -90,6 +95,12 @@ class LoopCloser:
         # Background interruptible GBA (ref transient thread,
         # `LoopClosing.cc:1323`); None = synchronous fallback.
         self.gba_async = None
+        # DistributedContext: point-partitioned GBA over a mesh (config 5).
+        self.dist = None
+        # Observability hook: called as on_correction(phase, kf_id,
+        # loop_kf) with phase "before"/"after" around the essential-graph
+        # correction — lets replays report ATE deltas per closure.
+        self.on_correction = None
         # Pending region for temporal consistency: (loop_kf, count,
         # last confirming kf). Ref mnLoopNumCoincidences
         # (`LoopClosing.cc:345-475`).
@@ -286,6 +297,8 @@ class LoopCloser:
         s = store.state
         nkf = store.n_kf
         K = s.Kmax
+        if self.on_correction is not None:
+            self.on_correction("before", kf_id, loop_kf)
 
         # Vertices: current SE3 poses lifted to Sim3.
         Rk = s.kf_R
@@ -384,6 +397,8 @@ class LoopCloser:
         t_se3 = t_new / s_new[:, None]
         store.state = s._replace(kf_R=R_new, kf_t=t_se3, mp_pos=newp)
         store.bump()
+        if self.on_correction is not None:
+            self.on_correction("after", kf_id, loop_kf)
 
         self._search_and_fuse(kf_id, loop_kf, covis)
 
@@ -461,38 +476,41 @@ class LoopCloser:
 
     def _global_ba(self, kf_id: int):
         """`RunGlobalBundleAdjustment` (`LoopClosing.cc:2513`): full BA,
-        10 iterations, KF0 fixed."""
+        10 iterations, KF0 fixed. With a DistributedContext attached the
+        solve is point-partitioned over its mesh (config 5)."""
+        from orbslam3_tpu.pipeline import gba as gba_mod
+
         s = self.store.state
         nkf = self.store.n_kf
         K = s.Kmax
         fixed = np.ones(K, bool)
         fixed[1:nkf] = ~np.asarray(s.kf_valid)[1:nkf]
         fixed[0] = True
+        fixed_j = jnp.asarray(fixed)
 
-        Nf = s.Nf
-        ids = jnp.arange(K, dtype=jnp.int32)
-        obs_mp = s.kf_mp.reshape(-1)
-        obs_cam = jnp.repeat(ids, Nf)
-        obs_valid = (obs_mp >= 0) & s.kf_feat_valid.reshape(-1) & s.kf_valid[obs_cam]
-        s2 = self.sigma2_table[
-            jnp.clip(s.kf_octave.reshape(-1), 0, self.sigma2_table.shape[0] - 1)
-        ]
-        prob = ba_mod.BAProblem(
-            cam_R=s.kf_R, cam_t=s.kf_t, cam_fixed=jnp.asarray(fixed),
-            points=s.mp_pos, point_valid=s.mp_valid,
-            obs_cam=obs_cam, obs_point=jnp.clip(obs_mp, 0),
-            obs_uv=s.kf_uv.reshape(-1, 2), obs_ur=s.kf_ur.reshape(-1),
-            obs_sigma2=s2, obs_valid=obs_valid,
-        )
-        res = ba_mod.solve_ba(
-            self.model, self.params, prob, iters=10, pcg_iters=50,
-            dense_schur=ba_mod.auto_dense_schur(
-                int(s.kf_R.shape[0]), int(s.mp_pos.shape[0])
-            ),
-        )
+        prob = gba_mod.build_gba_problem(s, fixed_j, self.sigma2_table)
+        if self.dist is not None and self.dist.n_shards > 1:
+            prob_s, _pn = self.dist.prep_ba(prob)
+            res = self.dist.run_ba(
+                self.model, self.params, prob_s, bf=self.bf,
+                iters=10, pcg_iters=50,
+            )
+            res = res._replace(
+                cam_R=jnp.asarray(self.dist.fetch(res.cam_R)),
+                cam_t=jnp.asarray(self.dist.fetch(res.cam_t)),
+                points=jnp.asarray(self.dist.fetch(res.points))[: s.Pmax],
+            )
+        else:
+            res = ba_mod.solve_ba(
+                self.model, self.params, prob, bf=self.bf, iters=10,
+                pcg_iters=50,
+                dense_schur=ba_mod.auto_dense_schur(
+                    int(s.kf_R.shape[0]), int(s.mp_pos.shape[0])
+                ),
+            )
         self.store.state = s._replace(
-            kf_R=jnp.where(jnp.asarray(fixed)[:, None, None], s.kf_R, res.cam_R),
-            kf_t=jnp.where(jnp.asarray(fixed)[:, None], s.kf_t, res.cam_t),
+            kf_R=jnp.where(fixed_j[:, None, None], s.kf_R, res.cam_R),
+            kf_t=jnp.where(fixed_j[:, None], s.kf_t, res.cam_t),
             mp_pos=jnp.where(s.mp_valid[:, None], res.points, s.mp_pos),
         )
         self.store.bump()

@@ -47,7 +47,8 @@ def gate_inertial_sim3(Rw: np.ndarray, s12: float, imu_metric: bool):
 
 class MultiMapManager:
     def __init__(self, system, vocabulary, min_kfs_to_store: int = 10,
-                 min_merge_matches: int = 15, min_sim3_inliers: int = 12):
+                 min_merge_matches: int = 15, min_sim3_inliers: int = 12,
+                 post_merge_gba: bool = True):
         self.system = system
         self.voc = vocabulary
         self.atlas = Atlas(
@@ -62,6 +63,7 @@ class MultiMapManager:
         self.min_kfs_to_store = min_kfs_to_store
         self.min_merge_matches = min_merge_matches
         self.min_sim3_inliers = min_sim3_inliers
+        self.post_merge_gba = post_merge_gba
         self.n_merges = 0
         self.lost_streak = 0
 
@@ -140,8 +142,14 @@ class MultiMapManager:
             if target is act or target.n_kf < 3 or id(target) not in self.kfdbs:
                 continue
             db = self.kfdbs[id(target)]
-            covis = jnp.asarray(target.covisibility_np())
-            cand_ids, _ = db.query_frame(desc, fvalid, covis, n_best=3)
+            dist = getattr(self.system, "dist", None)
+            if dist is not None and dist.n_shards > 1:
+                # Config-5 path: score the stored map's BoW matrix shard-
+                # wise over the mesh (`KeyFrameDB.query_frame_sharded`).
+                cand_ids, _ = db.query_frame_sharded(desc, fvalid, dist, n_best=3)
+            else:
+                covis = jnp.asarray(target.covisibility_np())
+                cand_ids, _ = db.query_frame(desc, fvalid, covis, n_best=3)
             for c in np.asarray(cand_ids):
                 if c < 0:
                     continue
@@ -318,6 +326,37 @@ class MultiMapManager:
         self.atlas.maps.remove(act)
         self.kfdbs.pop(id(act), None)
         self.atlas.active_idx = self.atlas.maps.index(target)
+
+        # Re-point the loop closer at the merged map (it was following the
+        # active map; its measured loop edges migrate through kf_remap).
+        lc = sysm.loop_closer
+        if lc is not None:
+            lc.store = target
+            lc.kfdb = self._kfdb(target)
+            sysm.tracker.kfdb = lc.kfdb
+            lc._pending = None
+            lc.loop_edges = [
+                (kf_remap.get(a, a), kf_remap.get(b, b), ts_a, ts_b, Rm, tm, sm)
+                for (a, b, ts_a, ts_b, Rm, tm, sm) in lc.loop_edges
+            ]
+
+        # Post-merge global BA over the merged map (ref `MergeLocal` spawns
+        # a GBA thread, `LoopClosing.cc:1967`): interruptible chunks via
+        # the loop closer's AsyncGBA when place recognition is enabled,
+        # else one synchronous solve — either way dispatched over the
+        # system's DistributedContext when configured (BASELINE config 5:
+        # "map merging + global BA across 2 hosts" as ONE system).
+        if self.post_merge_gba:
+            if lc is not None and lc.gba_async is not None:
+                lc.gba_async.abort()
+                lc.gba_async.start(target)
+            else:
+                from orbslam3_tpu.pipeline import gba as gba_mod
+
+                gba_mod.global_ba(
+                    target, tr.model, tr.params, tr.sigma2_table,
+                    bf=tr.bf, iters=10, dist=sysm.dist,
+                )
 
     def _weld_and_distribute(self, target: st.MapStore, weld_center: int):
         """Seam refinement, O(window) + O(graph) instead of a full-map BA:

@@ -74,6 +74,8 @@ class System:
         self.multimap = None
         self.async_mapper = None
         self.viewer = None
+        self.dist = None  # DistributedContext (enable_distributed)
+        self.rectifier = None  # StereoRectifier (enable_rectification)
         # Post-mapping consumers (loop closing, multi-map): the reference's
         # LocalMapping -> LoopClosing hand-off (`LocalMapping.cc:280`) —
         # they see a keyframe only after its mapping pass completed.
@@ -100,6 +102,44 @@ class System:
         self.tracker.mapper_idle_query = self.async_mapper.idle
         self.tracker.mapping_interrupt = self.async_mapper.interrupt
         self.tracker.mapping_queue_len = self.async_mapper.queue_len
+
+    def enable_distributed(self, mesh=None):
+        """Dispatch the pipeline's whole-map work onto a device mesh
+        (BASELINE config 5: "map merging + global BA across 2 hosts"):
+
+        * global BA — loop-closure GBA (async chunks and the synchronous
+          fallback) runs the point-partitioned block-Schur solve of
+          `parallel/ba_sharded.py` over the mesh (one psum of the reduced
+          camera system per LM iteration);
+        * Atlas place recognition — the multi-map manager's merge-candidate
+          scoring runs the sharded KFDB query of `parallel/kfdb_sharded.py`.
+
+        `mesh` defaults to all of `jax.devices()` — in a multi-process
+        (`jax.distributed`) run that is the global DCN mesh, and every
+        process must replay the same frames (SPMD replicas). Call in any
+        order relative to enable_place_recognition/enable_multimap."""
+        from orbslam3_tpu.parallel.context import DistributedContext
+
+        self.dist = DistributedContext(mesh)
+        lc = self.loop_closer
+        if lc is not None:
+            lc.dist = self.dist
+            if lc.gba_async is not None:
+                lc.gba_async.dist = self.dist
+        return self.dist
+
+    def enable_rectification(self, rect_left, rect_right):
+        """Raw (unrectified) pinhole-stereo ingestion: the reference parses
+        `LEFT./RIGHT. K/D/R/P` and builds remap grids once
+        (`Tracking.cc:299-323`); its ROS node applies `cv::remap` per frame
+        before `TrackStereo`. Here `track_stereo` applies the remap as one
+        device gather program before extraction. Args are
+        `config.RectifyConfig` (or anything with K/D/R/P/width/height)."""
+        from orbslam3_tpu.ops.rectify import StereoRectifier
+
+        assert self.sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        self.rectifier = StereoRectifier(rect_left, rect_right)
+        return self.rectifier
 
     def enable_viewer(self, port: int = 0, **kw):
         """Start the live HTTP viewer (ref: Viewer/FrameDrawer/MapDrawer
@@ -141,14 +181,16 @@ class System:
             min_bow_matches=min_bow_matches, min_sim3_inliers=min_sim3_inliers,
             consecutive=consecutive, inertial=inertial,
             img_wh=self.tracker.img_wh, scale_table=self.tracker.scale_table,
-            mapper=self.mapper,
+            mapper=self.mapper, bf=self.tracker.bf,
         )
+        self.loop_closer.dist = self.dist
         if run_gba and async_gba:
             from orbslam3_tpu.pipeline.gba import AsyncGBA
 
             self.loop_closer.gba_async = AsyncGBA(
                 self.tracker.model, self.tracker.params,
                 self.tracker.sigma2_table, bf=self.tracker.bf,
+                dist=self.dist,
             )
         self._kf_downstream.append(self.loop_closer.process_keyframe)
 
@@ -265,6 +307,8 @@ class System:
         if imu_measurements:
             for (t, acc, gyro) in imu_measurements:
                 self.tracker.grab_imu(t, acc, gyro)
+        if self.rectifier is not None:
+            img_left, img_right = self.rectifier(img_left, img_right)
         if self.tracker.camera2 is not None:  # stereo-fisheye rig (Frame.cc:1187)
             out = self.tracker.process_stereo_fisheye_frame(
                 img_left, img_right, timestamp
