@@ -74,3 +74,22 @@ def ate_rmse(
     aligned = (s * (R @ est.T)).T + t
     err = np.linalg.norm(aligned - gt, axis=1)
     return float(np.sqrt((err**2).mean()))
+
+
+def ate_scale(
+    est_ts: np.ndarray,
+    est_pos: np.ndarray,
+    gt_ts: np.ndarray,
+    gt_pos: np.ndarray,
+    max_dt: float = 0.02,
+) -> float:
+    """Sim3-fit scale of the estimate vs ground truth. For metric sensors
+    (stereo / RGB-D / inertial) this should be ~1.00; deviation is the
+    map's metric-scale error (the reference evaluates stereo with SE3
+    alignment precisely because scale is observable — `Frame.cc:955-1135`
+    metric stereo semantics)."""
+    ia, ib = associate(est_ts, gt_ts, max_dt)
+    if len(ia) < 3:
+        return float("nan")
+    s, _R, _t = umeyama(est_pos[ia], gt_pos[ib], with_scale=True)
+    return float(s)

@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--kmax", type=int, default=512)
     ap.add_argument("--pmax", type=int, default=65536)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--sync-mapping", action="store_true",
+                    help="run the per-KF mapping pass synchronously inside "
+                         "the inserting frame (default: async — the pass is "
+                         "sliced one stage per frame, the reference's "
+                         "LocalMapping-thread overlap, System.cc:138)")
     ap.add_argument("--vocab", default=None)
     ap.add_argument("--timing", action="store_true",
                     help="print the per-stage timing-span report at the end")
@@ -116,6 +121,18 @@ def main():
         fps=settings.camera.fps,
     )
 
+    if args.mode in ("stereo", "stereo-vi") and settings.rect_left is not None:
+        # Raw stereo: LEFT./RIGHT. K/D/R/P blocks present -> remap on
+        # device before extraction (`Tracking.cc:299-323` semantics).
+        slam.enable_rectification(settings.rect_left, settings.rect_right)
+        print("stereo rectification: LEFT./RIGHT. remap maps active")
+
+    if not args.sync_mapping:
+        # Production default: mapping overlaps tracking (ref System.cc:138
+        # LocalMapping thread). Round-3 at-scale numbers ran synchronous;
+        # round 4 made this the flagship path (tests gate ATE parity).
+        slam.enable_async_mapping()
+
     if not args.no_loop:
         from orbslam3_tpu.ops import bow, features as feat_ops
         import jax.numpy as jnp
@@ -139,6 +156,24 @@ def main():
         # tracking loss stores the map and starts fresh; place recognition
         # later welds the segments (`Tracking.cc:1239-1257`).
         slam.enable_multimap(voc)
+
+    # Ground truth (when present) doubles as live observability: each loop
+    # closure reports the trajectory ATE immediately before/after its
+    # essential-graph correction (`LoopClosing::CorrectLoop`).
+    gt = None
+    gt_path = os.path.join(args.seq_dir, "mav0", "state_groundtruth_estimate0",
+                           "data.csv")
+    if args.dataset in ("euroc", "tumvi") and os.path.exists(gt_path):
+        gt = datasets.load_groundtruth_euroc(args.seq_dir)
+    if gt is not None and slam.loop_closer is not None:
+        def _loop_ate(phase, kf_id, loop_kf):
+            ts_e, pos_e = slam.get_trajectory()
+            e = ate_rmse(ts_e, pos_e, gt[0], gt[1],
+                         with_scale=args.mode in ("mono", "mono-vi"))
+            print(f"loop closure kf{kf_id}->kf{loop_kf}: "
+                  f"ATE {phase} correction = {e:.4f} m", flush=True)
+
+        slam.loop_closer.on_correction = _loop_ate
 
     if args.viewer is not None:
         v = slam.enable_viewer(port=args.viewer)
@@ -181,6 +216,9 @@ def main():
     slam.shutdown()  # drain any in-flight background GBA (ref System.cc:474)
     wall = time.perf_counter() - t0
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.1f} fps incl. mapping)")
+    if slam.loop_closer is not None:
+        print(f"loops_closed={slam.loop_closer.n_loops_closed} "
+              f"merges={slam.multimap.n_merges if slam.multimap else 0}")
     if args.timing:
         from orbslam3_tpu.utils import timing as _timing
 
@@ -194,12 +232,17 @@ def main():
     slam.save_keyframe_trajectory_tum(args.kf_out)
     print(f"trajectories -> {args.out}, {args.kf_out}")
 
-    gt_path = os.path.join(args.seq_dir, "mav0", "state_groundtruth_estimate0", "data.csv")
-    if args.dataset in ("euroc", "tumvi") and os.path.exists(gt_path):
-        gt_ts, gt_pos, _ = datasets.load_groundtruth_euroc(args.seq_dir)
-        err = ate_rmse(ts_est, pos_est, gt_ts, gt_pos,
+    if gt is not None:
+        err = ate_rmse(ts_est, pos_est, gt[0], gt[1],
                        with_scale=args.mode in ("mono", "mono-vi"))
         print(f"ATE RMSE: {err:.4f} m")
+        if args.mode in ("stereo", "stereo-vi", "rgbd"):
+            # Metric sensors: report the Sim3-fit scale too (should be
+            # ~1.00; round-3 verdict flagged config 2's 0.88 at toy scale).
+            from orbslam3_tpu.eval.ate import ate_scale
+
+            sc = ate_scale(ts_est, pos_est, gt[0], gt[1])
+            print(f"scale vs GT: {sc:.4f}")
 
 
 if __name__ == "__main__":
