@@ -41,6 +41,19 @@ class CameraConfig:
 
 
 @dataclass
+class RectifyConfig:
+    """One side of the reference's stereo-rectification block
+    (`LEFT./RIGHT. K/D/R/P` + height/width, `Tracking.cc:299-323`)."""
+
+    K: np.ndarray  # (3,3) original intrinsics
+    D: np.ndarray  # (4-5,) radtan distortion
+    R: np.ndarray  # (3,3) rectifying rotation
+    P: np.ndarray  # (3,4) rectified projection
+    width: int
+    height: int
+
+
+@dataclass
 class ImuConfig:
     Tbc: np.ndarray  # 4x4 body<-camera
     noise_gyro: float
@@ -55,6 +68,9 @@ class Settings:
     camera: CameraConfig
     orb: feat.OrbParams
     imu: Optional[ImuConfig] = None
+    # Raw-stereo rectification (LEFT./RIGHT. blocks); None = pre-rectified.
+    rect_left: Optional[RectifyConfig] = None
+    rect_right: Optional[RectifyConfig] = None
 
 
 def _load_opencv_yaml(path: str) -> dict:
@@ -144,6 +160,21 @@ def load_settings(path: str) -> Settings:
         ini_th=float(d.get("ORBextractor.iniThFAST", 20)),
         min_th=float(d.get("ORBextractor.minThFAST", 7)),
     )
+    def _rect(prefix):
+        if f"{prefix}.K" not in d:
+            return None
+        return RectifyConfig(
+            K=_get_matrix(d[f"{prefix}.K"]),
+            D=_get_matrix(d[f"{prefix}.D"]).reshape(-1),
+            R=_get_matrix(d[f"{prefix}.R"]),
+            P=_get_matrix(d[f"{prefix}.P"]),
+            width=int(d.get(f"{prefix}.width", camera.width)),
+            height=int(d.get(f"{prefix}.height", camera.height)),
+        )
+
+    rect_left = _rect("LEFT")
+    rect_right = _rect("RIGHT")
+
     imu = None
     if "IMU.NoiseGyro" in d:
         Tbc = _get_matrix(d["Tbc"]) if "Tbc" in d else np.eye(4)
@@ -155,4 +186,5 @@ def load_settings(path: str) -> Settings:
             walk_acc=float(d["IMU.AccWalk"]),
             freq=float(d.get("IMU.Frequency", 200.0)),
         )
-    return Settings(camera=camera, orb=orb, imu=imu)
+    return Settings(camera=camera, orb=orb, imu=imu,
+                    rect_left=rect_left, rect_right=rect_right)

@@ -244,6 +244,60 @@ ORBextractor.minThFAST: 7
 
 BASELINE_M = 0.11  # EuRoC-like stereo baseline (metres), --stereo only
 
+# --raw-stereo: render the pair UNRECTIFIED — EuRoC-grade radial-tangential
+# distortion plus a 2-degree common pitch between the raw rig and the
+# rectified frame (a rotation about the baseline axis keeps the raw pair
+# row-alignable, as a real rectifying calibration would).
+RAW_DIST = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+RAW_PITCH_DEG = 2.0
+
+
+def radtan_dir_grid(wh, intr, dist):
+    """Per-pixel unit-depth ray directions of a radtan-distorted pinhole:
+    fixed-point undistortion per pixel (the standard cv::undistortPoints
+    iteration), precomputed once per camera."""
+    W_, H_ = wh
+    fx, fy, cx, cy = intr
+    k1, k2, p1, p2 = dist
+    u, v = np.meshgrid(np.arange(W_, dtype=np.float64),
+                       np.arange(H_, dtype=np.float64))
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    for _ in range(8):
+        r2 = x * x + y * y
+        rad = 1.0 + r2 * (k1 + r2 * k2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / rad
+        y = (yd - dy) / rad
+    return np.stack([x, y, np.ones_like(x)], axis=-1).astype(np.float32)
+
+
+def raw_stereo_yaml():
+    """Settings for the unrectified pair: rectified Camera.* intrinsics +
+    the reference's LEFT./RIGHT. K/D/R/P rectification blocks
+    (`/root/reference/src/Tracking.cc:299-323`)."""
+    c, s = np.cos(np.radians(RAW_PITCH_DEG)), np.sin(np.radians(RAW_PITCH_DEG))
+    R = [1.0, 0.0, 0.0, 0.0, c, -s, 0.0, s, c]
+    K = [FX, 0.0, CX, 0.0, FY, CY, 0.0, 0.0, 1.0]
+    D = list(RAW_DIST)
+
+    def mat(name, rows, cols, data):
+        vals = ", ".join(f"{x:.10g}" for x in data)
+        return (f"{name}: !!opencv-matrix\n   rows: {rows}\n   cols: {cols}\n"
+                f"   dt: d\n   data: [{vals}]\n")
+
+    out = SETTINGS_YAML + f"Camera.bf: {FX * BASELINE_M}\nThDepth: 35.0\n"
+    for side, pr3 in (("LEFT", 0.0), ("RIGHT", -FX * BASELINE_M)):
+        out += f"{side}.height: {H}\n{side}.width: {W}\n"
+        out += mat(f"{side}.K", 3, 3, K)
+        out += mat(f"{side}.D", 1, 4, D)
+        out += mat(f"{side}.R", 3, 3, R)
+        out += mat(f"{side}.P", 3, 4,
+                   [FX, 0.0, CX, pr3, 0.0, FY, CY, 0.0, 0.0, 0.0, 1.0, 0.0])
+    return out
+
 # --fisheye: TUM-VI-style stereo KB8 rig (512x512 @ 20 Hz, ~0.15 m base).
 FE_W = FE_H = 512
 FE_INTR_L = (190.97, 190.97, 254.93, 256.90,
@@ -322,7 +376,15 @@ def main():
                          f" (mav0/cam0+cam1, {FE_BASELINE_M} m baseline),"
                          " smaller room, KannalaBrandt8+Camera2+Tlr settings"
                          " (BASELINE config 4)")
+    ap.add_argument("--raw-stereo", action="store_true",
+                    help="with --stereo: render the pair UNRECTIFIED (radtan"
+                         " distortion + 2-degree pitch); settings carry the"
+                         " reference's LEFT./RIGHT. K/D/R/P rectification"
+                         " blocks (Tracking.cc:299-323) so the replay must"
+                         " remap on device before extraction")
     args = ap.parse_args()
+    if args.raw_stereo:
+        args.stereo = True
 
     import cv2
 
@@ -336,6 +398,14 @@ def main():
         TRAJ_R, TRAJ_Z, T_LOOP = 1.4, 1.3, 40.0
         dirs_l = kb8_dir_grid((FE_W, FE_H), FE_INTR_L)
         dirs_r = kb8_dir_grid((FE_W, FE_H), FE_INTR_R)
+
+    R_raw = np.eye(3)
+    if args.raw_stereo:
+        # Raw rig = rectified camera rotated by R^T (cv initUndistortRectify
+        # semantics: ray_raw = R^-1 ray_rect => R_wc_raw = R_wc_rect @ R).
+        c, s = np.cos(np.radians(RAW_PITCH_DEG)), np.sin(np.radians(RAW_PITCH_DEG))
+        R_raw = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        dirs_l = dirs_r = radtan_dir_grid((W, H), (FX, FY, CX, CY), RAW_DIST)
 
     rng = np.random.default_rng(args.seed)
     tex = make_textures(rng)
@@ -353,6 +423,8 @@ def main():
 
     if args.fisheye:
         yaml_text = FE_SETTINGS_YAML
+    elif args.raw_stereo:
+        yaml_text = raw_stereo_yaml()
     else:
         yaml_text = SETTINGS_YAML
         if args.stereo:
@@ -379,7 +451,8 @@ def main():
             t = k * dt_cam
             ns = args.start_ns + int(round(t * 1e9))
             R_wc, p = pose_at(t)
-            img = render(tex, R_wc, p, dirs=dirs_l)
+            R_render = R_wc @ R_raw if args.raw_stereo else R_wc
+            img = render(tex, R_render, p, dirs=dirs_l)
             # mild sensor noise + quantize
             img = np.clip(img + rng.normal(0, 1.5, img.shape), 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
@@ -388,7 +461,8 @@ def main():
                 # Right eye: camera centre displaced along the camera
                 # x-axis by the baseline, same orientation (Tlr = [I|b]).
                 p_r = p + R_wc @ np.array([base, 0.0, 0.0])
-                img_r = render(tex, R_wc, p_r, dirs=dirs_r)
+                img_r = render(tex, R_render if args.raw_stereo else R_wc,
+                               p_r, dirs=dirs_r)
                 img_r = np.clip(
                     img_r + rng.normal(0, 1.5, img_r.shape), 0, 255
                 ).astype(np.uint8)
