@@ -721,15 +721,16 @@ class Tracker:
             f, f_r, jnp.asarray(img_left, jnp.float32),
             jnp.asarray(img_right, jnp.float32), self.bf, self.scale_table,
         )
-        # Trust stereo depth only for CLOSE points (ref ThDepth rule,
-        # `Tracking.cc:1616`: depth < ThDepth * baseline); far features are
-        # handled monocularly and triangulated across keyframes instead.
-        depth = np.asarray(sm.depth)
-        ur = np.asarray(sm.ur).copy()
-        close = depth < self.th_depth * (self.bf / float(self.params[0]))
-        ur[~close] = -1.0
-        depth = np.where(close, depth, -1.0)
-        return self._process_with_features(f, timestamp, ur=ur, depth=depth)
+        # Keep ALL positive depths (+ their virtual-right residual rows):
+        # the reference's ThDepth close/far distinction is applied where
+        # points are CREATED (sorted close-first with a min-100 floor,
+        # `Tracking.cc:2760-2830`) and in the keyframe-need census — NOT as
+        # a frame-build filter. Round 3 blanket-dropped far depths here,
+        # which left at-scale scenes (walls beyond ThDepth*baseline) unable
+        # to even initialize.
+        return self._process_with_features(
+            f, timestamp, ur=np.asarray(sm.ur), depth=np.asarray(sm.depth)
+        )
 
     def process_rgbd_frame(
         self, img: np.ndarray, depth_map: np.ndarray, timestamp: float
@@ -772,9 +773,8 @@ class Tracker:
             lap_l=c2["lap1"], lap_r=c2["lap2"],
         )
         depth = np.asarray(fs.depth)
-        # Same close/far gate as rectified stereo (ThDepth * baseline).
-        close = (depth > 0) & (depth < self.th_depth * c2["baseline"])
-        depth = np.where(close, depth, -1.0)
+        # All positive depths kept; the ThDepth close/far rule applies at
+        # point creation + the KF census (same as rectified stereo).
         ur = np.full(f.uv.shape[0], -1.0, np.float32)  # no rectified ur for KB8
         # Right-camera rows for pose optimization (ToBody edges): pixel
         # and octave variance of each left feature's right match.
@@ -1430,12 +1430,12 @@ class Tracker:
                 np.asarray(((s.kf_mp[rk] >= 0) & s.kf_feat_valid[rk]).sum())
             )
 
-        # Close-point census for stereo/RGB-D (`:2620-2641`); cur.depth is
-        # already close-gated at frame build (far points hold -1).
+        # Close-point census for stereo/RGB-D (`:2620-2641`): close means
+        # depth < ThDepth*baseline (`Tracking.cc:2624`).
         need_close = False
         mono_like = not self.is_stereo_like
         if not mono_like and cur.depth is not None:
-            close = cur.depth > 0
+            close = (cur.depth > 0) & (cur.depth < self._close_depth_cutoff())
             tracked_close = int(np.sum(close & (cur.mp_assoc >= 0)))
             untracked_close = int(np.sum(close & (cur.mp_assoc < 0)))
             need_close = (tracked_close < 100) and (untracked_close > 70)
@@ -1485,10 +1485,70 @@ class Tracker:
             return q < 3
         return False
 
+    def _close_depth_cutoff(self) -> float:
+        """ThDepth * baseline (`Tracking.cc:1616,2624`)."""
+        if self.camera2 is not None:
+            return self.th_depth * float(self.camera2["baseline"])
+        return self.th_depth * (self.bf / float(self.params[0]))
+
     def _create_keyframe(self, cur: fr.FrameData):
         """`CreateNewKeyFrame` (`Tracking.cc:2716`)."""
         with timing.span("tracking/create_kf"):
             self._create_keyframe_impl(cur)
+
+    def _create_depth_points(self, cur: fr.FrameData, slot: int):
+        """Stereo/RGB-D point creation at every new keyframe
+        (`Tracking.cc:2756-2830`): walk features with measured depth and
+        no map point, sorted near-to-far; create every CLOSE point
+        (depth < ThDepth*baseline) and keep creating past the cutoff
+        until at least 100 points exist — far depths are noisy but 100
+        anchors beat none. This is what keeps stereo maps dense and
+        metrically pinned between triangulation passes."""
+        depth = cur.depth
+        fvalid = np.asarray(cur.features.valid)
+        cand = np.flatnonzero(fvalid & (depth > 0) & (cur.mp_assoc < 0))
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(depth[cand])]
+        cutoff = self._close_depth_cutoff()
+        n_close = int(np.searchsorted(depth[order], cutoff))
+        n_take = max(n_close, min(100, len(order)))
+        sel = order[:n_take]
+        free = int(np.asarray(~self.store.state.mp_valid).sum()) - 1  # dump slot
+        if free < len(sel):  # capacity guard: nearest first
+            sel = sel[: max(free, 0)]
+        if len(sel) == 0:
+            return
+        z = depth[sel]
+        rays = np.asarray(
+            cam.unproject(self.model, self.params, cur.features.uv[jnp.asarray(sel)])
+        )
+        Xc = rays * z[:, None]
+        # World position through the CURRENT frame pose (X_w = R^T(Xc - t)).
+        Xw = (Xc - cur.t) @ cur.R
+        cam_center = -cur.R.T @ cur.t
+        dist = np.linalg.norm(Xw - cam_center, axis=-1)
+        normal = (Xw - cam_center) / np.maximum(dist[:, None], 1e-9)
+        octs = np.asarray(cur.features.octave)[sel]
+        sf = np.asarray(self.scale_table)
+        max_d = dist * sf[np.clip(octs, 0, len(sf) - 1)]
+        min_d = max_d / sf[-1]
+        slots = self.store.alloc_mps(len(sel))
+        s = st.add_points(
+            self.store.state, jnp.asarray(slots), jnp.asarray(Xw, jnp.float32),
+            cur.features.desc[jnp.asarray(sel)],
+            jnp.asarray(normal, jnp.float32), jnp.asarray(min_d, jnp.float32),
+            jnp.asarray(max_d, jnp.float32),
+            jnp.full(len(sel), slot, jnp.int32), jnp.ones(len(sel), bool),
+        )
+        # Associate into the keyframe row AND the live frame.
+        self.store.state = s._replace(
+            kf_mp=s.kf_mp.at[jnp.asarray(slot), jnp.asarray(sel)].set(
+                jnp.asarray(slots, jnp.int32)
+            )
+        )
+        cur.mp_assoc = cur.mp_assoc.copy()
+        cur.mp_assoc[sel] = slots
 
     def _create_keyframe_impl(self, cur: fr.FrameData):
         slot = self.store.alloc_kf()
@@ -1506,6 +1566,10 @@ class Tracker:
         self.store.state = s
         self.store.kf_ts[slot] = cur.timestamp
         self.store.kf_frame_id[slot] = cur.frame_id
+        if self.is_stereo_like and cur.depth is not None:
+            # Stereo/RGB-D: seed measured-depth points at every keyframe
+            # (close-first, min-100; `Tracking.cc:2756-2830`).
+            self._create_depth_points(cur, slot)
         self.store.bump()
         self.ref_kf = slot
         self.last_kf_id = slot
