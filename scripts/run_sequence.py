@@ -61,7 +61,12 @@ def main():
                          "the inserting frame (default: async — the pass is "
                          "sliced one stage per frame, the reference's "
                          "LocalMapping-thread overlap, System.cc:138)")
-    ap.add_argument("--vocab", default=None)
+    ap.add_argument("--vocab", default=None,
+                    help=".bin (reference-binary) or .npz vocabulary; "
+                         "default: the shipped assets/ORBvoc_synth.bin")
+    ap.add_argument("--train-vocab", action="store_true",
+                    help="ignore the shipped artifact and train an "
+                         "in-sequence vocabulary (legacy behavior)")
     ap.add_argument("--timing", action="store_true",
                     help="print the per-stage timing-span report at the end")
     ap.add_argument("--viewer", type=int, default=None, metavar="PORT",
@@ -137,10 +142,29 @@ def main():
         from orbslam3_tpu.ops import bow, features as feat_ops
         import jax.numpy as jnp
 
+        # Vocabulary resolution order (the reference's lifecycle: a
+        # PRETRAINED vocabulary loaded at startup, `System.cc:83` +
+        # binary loader `TemplatedVocabulary.h:1442` — never trained on
+        # the replayed sequence): --vocab file if given, else the shipped
+        # offline artifact (assets/ORBvoc_synth.bin, trained by
+        # scripts/train_vocabulary.py on generator worlds disjoint from
+        # every dataset seed), else --train-vocab in-sequence fallback.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        default_bin = os.path.join(repo, "assets", "ORBvoc_synth.bin")
         voc = None
-        if args.vocab and os.path.exists(args.vocab):
-            voc = bow.load_npz(args.vocab)
-            print(f"vocabulary: {voc.n_words} words (cached)")
+        vocab_path = args.vocab
+        if vocab_path is None and not args.train_vocab and os.path.exists(default_bin):
+            vocab_path = default_bin
+        if vocab_path and os.path.exists(vocab_path):
+            if vocab_path.endswith(".bin"):
+                from orbslam3_tpu.io import vocab_io
+
+                voc = vocab_io.load_binary_vocabulary(vocab_path)
+                print(f"vocabulary: {voc.n_words} words "
+                      f"(binary artifact {os.path.basename(vocab_path)})")
+            else:
+                voc = bow.load_npz(vocab_path)
+                print(f"vocabulary: {voc.n_words} words (cached)")
         if voc is None:
             stride = max(1, n // 40)
             train = []

@@ -17,17 +17,26 @@ from orbslam3_tpu.ops import features as feat
 from test_e2e_mono import H, W, FOCAL, make_world, render, camera_path
 
 
-def _scene_descs(seed, n_frames=8, orb=None):
-    """Render a synthetic scene and return per-frame descriptor sets."""
+def _scene(seed):
     rng = np.random.default_rng(seed)
     params = cam.make_pinhole(FOCAL, FOCAL, W / 2, H / 2)
     pts, shades = make_world(rng)
-    out = []
-    for k, (R, t) in enumerate(camera_path(n_frames)):
-        img = render(params, R, t, pts, shades)
-        f = feat.extract(jnp.asarray(img.astype(np.float32)), orb)
-        out.append((np.asarray(f.desc), np.asarray(f.valid)))
-    return out
+    return params, pts, shades
+
+
+def _extract(params, pts, shades, R, t, orb):
+    img = render(params, R, t, pts, shades)
+    f = feat.extract(jnp.asarray(img.astype(np.float32)), orb)
+    return np.asarray(f.desc), np.asarray(f.valid)
+
+
+def _scene_descs(seed, n_frames=8, orb=None):
+    """Render a synthetic scene and return per-frame descriptor sets."""
+    params, pts, shades = _scene(seed)
+    return [
+        _extract(params, pts, shades, R, t, orb)
+        for (R, t) in camera_path(n_frames)
+    ]
 
 
 @pytest.mark.slow
@@ -53,20 +62,34 @@ def test_heldout_scene_recall():
         db.append(np.asarray(bow.bow_vector(voc, words)))
     db = np.stack(db)  # (24, n_words)
 
+    # Queries: RE-RENDERED views of the held-out scene from genuinely
+    # shifted + rotated cameras (never-indexed poses — real viewpoint
+    # change, not descriptor dropout; round-3 review flagged the dropout
+    # shortcut as under-perturbing). ~4 deg extra yaw/pitch and a lateral/
+    # depth offset relative to the indexed path.
+    from orbslam3_tpu.ops import lie
+
+    params, pts, shades = _scene(33)
+    path = camera_path(8)
     hits = 0
+    qrng = np.random.default_rng(7)
     for qi in range(len(held)):
-        d, v = held[qi]
-        # Perturb the query: re-extract would give identical descriptors,
-        # so drop a random 30% of features to emulate viewpoint change.
-        rng = np.random.default_rng(qi)
-        keep = rng.random(v.shape) > 0.3
-        words = bow.transform(voc, jnp.asarray(d), jnp.asarray(v & keep))
+        R0, t0 = path[qi]
+        dR = np.asarray(lie.exp_so3(jnp.asarray(
+            qrng.uniform(-0.07, 0.07, 3).astype(np.float32)
+        )))
+        Rq = (dR @ R0).astype(np.float32)
+        center0 = -R0.T @ t0
+        centerq = center0 + qrng.uniform(-0.12, 0.12, 3).astype(np.float32)
+        tq = (-Rq @ centerq).astype(np.float32)
+        d, v = _extract(params, pts, shades, Rq, tq, orb)
+        words = bow.transform(voc, jnp.asarray(d), jnp.asarray(v))
         q = np.asarray(bow.bow_vector(voc, words))
-        scores = np.asarray(bow.score_l1(jnp.asarray(q), jnp.asarray(db))).copy()
-        scores[qi] = -1  # exclude the exact self-entry
+        scores = np.asarray(bow.score_l1(jnp.asarray(q), jnp.asarray(db)))
         best = int(np.argmax(scores))
         # Top hit must be a frame of the SAME (held-out) scene.
         if best < len(held):
             hits += 1
-    # Recall >= 7/8 on the held-out scene with an unrelated vocabulary.
+    # Recall >= 7/8 on the held-out scene with an unrelated vocabulary,
+    # under true viewpoint change.
     assert hits >= 7, hits
