@@ -179,12 +179,15 @@ def bench_scaling():
 def main():
     fps = bench_tracking()
 
-    # Local-BA bucket = the production `local_mapping.local_ba` shape:
-    # WINDOW=24 optimizable + FIXED=48 frontier KFs, point axis compacted
-    # to <=8192 — dense explicit-Schur path; global bucket ~ a small-map
-    # GBA (PCG).
+    # Local-BA buckets: the round-3 24/48 window (for cross-round
+    # comparability) and the current production 48/128 caps
+    # (`local_mapping.lba_caps` — the reference-faithful all-covisibles/
+    # maxFixKF setting at the KF counts at-scale replays reach). Point
+    # axis compacted to <=8192; dense explicit-Schur path.
     ba_local_ms = bench_ba(C=72, P=8192, obs_per_cam=512, iters=5,
                            dense_schur=True, n_fixed=48)
+    ba_local_ms_48_128 = bench_ba(C=176, P=8192, obs_per_cam=512, iters=5,
+                                  dense_schur=True, n_fixed=128)
     # Global bucket mirrors the production GBA dispatch (pipeline/gba.py):
     # dense explicit-Schur up to the auto_dense_schur memory cutoff
     # (128 KF x 16k points is inside it; full-capacity Atlas GBA beyond
@@ -217,6 +220,7 @@ def main():
                     "fps_amortized_with_mapping": round(fps_amortized, 2),
                     "fps_amortized_provenance": "measured KF-inserting device replay (mapping pass every 14th frame), not a formula",
                     "ba_local_ms_per_iter_24kf_48fix_8kpt": round(ba_local_ms, 2),
+                    "ba_local_ms_per_iter_48kf_128fix_8kpt": round(ba_local_ms_48_128, 2),
                     "ba_global_ms_per_iter_128kf_16kpt": round(ba_global_ms, 2),
                     # Which solver the global bucket actually timed — the
                     # auto dispatch flipped PCG->dense-Schur in round 3,

@@ -13,12 +13,27 @@ descriptors (stock: k=10, L=6). Differences from the reference, by design:
   cheap on HBM, and database scoring becomes one matmul-shaped op instead
   of DBoW2's inverted-file walk (`KeyFrameDatabase.cc:614`).
 * The "direct index" (`FeatureVector`, used by the reference to prune
-  SearchByBoW, `ORBmatcher.cc:323`) is intentionally dropped: the TPU
-  matcher computes the full masked Hamming matrix anyway (see
-  `ops/matching.py`), so node-level pruning buys nothing.
+  SearchByBoW and SearchForTriangulation, `ORBmatcher.cc:323,1138`;
+  `Frame.cc:865`) is intentionally dropped. DECISION RECORD (round 4,
+  measured on a v5e chip by `scripts/bench_bow_index.py`): full Hamming
+  matmul vs a TPU-shaped direct index (sort-by-node + padded block-
+  diagonal batched matmul) —
+      1k x 1k (tracking budget):   0.063 ms vs 0.063 ms  (tie)
+      5k x 5k (init budget):       0.062 ms vs 0.034 ms
+      32 batched 1k-pair KF matches (Atlas scale): 0.064 ms total
+  The MXU absorbs even the 5k x 5k case in ~60 us — ~1% of one frame's
+  extraction — so the index's ~30 us saving (once per initialization
+  attempt) cannot pay for its per-node group-size cap (features beyond
+  the cap are unmatched: an accuracy loss the matmul doesn't have) or
+  the layout/scatter code. The matmul stays.
 * No pretrained ORBvoc ships with the reference repo; `build_vocabulary`
   trains a tree from descriptors (hierarchical k-medians with bitwise
-  majority centers, `FORB::meanValue` semantics, `FORB.cpp:193`).
+  majority centers, `FORB::meanValue` semantics, `FORB.cpp:193`). This
+  repo ships its own offline artifact (`assets/ORBvoc_synth.bin`, trained
+  by `scripts/train_vocabulary.py` on worlds disjoint from every replayed
+  dataset, stored in the reference's binary format) which
+  `run_sequence.py` loads by default — the reference's vocabulary
+  lifecycle.
 """
 
 from __future__ import annotations

@@ -40,10 +40,22 @@ from orbslam3_tpu.utils.fetch import fetch
 # (optim/ba.py) makes C = WINDOW+FIXED cheap — S is (6C)^2, solved once
 # per LM iteration. The reference optimizes ALL covisibles of the new KF
 # and fixes every other observer up to maxFixKF=200 (`Optimizer.cc:1811,
-# 4852`); these caps cover the covisible counts real windows reach while
-# keeping one static shape.
-WINDOW = 24  # optimizable window cap (ref: all covisibles of current KF)
-FIXED = 48  # fixed frontier cap (ref maxFixKF=200 inertial; visual: all)
+# 4852`). Round-3 ran 24/48; the 48/128 caps below cover the covisible
+# counts synthetic at-scale replays actually reach (the 1600-frame
+# config-1 run self-limits at ~77 KFs via culling, so 48 optimizable +
+# 128 fixed IS effectively the reference's all-covisibles setting there)
+# at ~2.4x the 24/48 per-iter cost (`bench.py` records both buckets).
+# Caps are clamped to the store's Kmax so small test maps compile small
+# programs; ORBSLAM3_TPU_LBA_WINDOW/FIXED env overrides support A/B runs.
+import os as _os
+
+WINDOW = int(_os.environ.get("ORBSLAM3_TPU_LBA_WINDOW", 48))
+FIXED = int(_os.environ.get("ORBSLAM3_TPU_LBA_FIXED", 128))
+
+
+def lba_caps(Kmax: int):
+    """(window, fixed) clamped to the store capacity."""
+    return min(WINDOW, int(Kmax)), min(FIXED, int(Kmax))
 
 
 # ---------------------------------------------------------------------------
@@ -781,30 +793,31 @@ class LocalMapper:
 
     def _local_ba(self, kf_id: int):
         s = self.store.state
-        cov = self._covisible(kf_id, WINDOW - 1)
-        window = np.concatenate([[kf_id], cov]).astype(np.int32)[:WINDOW]
+        WIN, FIX = lba_caps(s.Kmax)
+        cov = self._covisible(kf_id, WIN - 1)
+        window = np.concatenate([[kf_id], cov]).astype(np.int32)[:WIN]
         # Fixed frontier: KFs sharing points with the window, not in it.
         pin = getattr(self, "_covis_pin", None)
         Wmat = pin[1] if pin and pin[0] == kf_id else self.store.covisibility_np()
         nkf = self.store.n_kf
         shares = Wmat[window][:, :nkf].sum(0)
         cand = np.argsort(-shares)
-        fixed = [c for c in cand if shares[c] > 0 and c not in set(window.tolist())][:FIXED]
+        fixed = [c for c in cand if shares[c] > 0 and c not in set(window.tolist())][:FIX]
         # Anchor: if fewer than 1 fixed, fix the oldest window KF
         # (ref guarantees >=2 fixed KFs, Optimizer.cc:1903-1944).
         if len(fixed) == 0 and len(window) > 1:
             oldest = int(window.min())
             window = np.asarray([k for k in window if k != oldest], np.int32)
             fixed = [oldest]
-        win_pad = np.full(WINDOW, -1, np.int32)
+        win_pad = np.full(WIN, -1, np.int32)
         win_pad[: len(window)] = window
-        fix_pad = np.full(FIXED, -1, np.int32)
+        fix_pad = np.full(FIX, -1, np.int32)
         fix_pad[: len(fixed)] = fixed
         # Always keep KF 0 fixed to anchor the gauge.
         if 0 in window.tolist():
             win_pad = np.asarray([k if k != 0 else -1 for k in win_pad], np.int32)
             if 0 not in fixed:
-                for i in range(FIXED):
+                for i in range(FIX):
                     if fix_pad[i] < 0:
                         fix_pad[i] = 0
                         break

@@ -116,9 +116,9 @@ def child(proc_id: int, nprocs: int = NPROC, bench: bool = False):
     jax.distributed.shutdown()
 
 
-def _spawn(nprocs: int, bench: bool, pin: bool):
-    """Launch `nprocs` children; with `pin`, each gets its own 2 host
-    cores (taskset) so strong-scaling timings compare fixed per-host
+def _spawn(nprocs: int, bench: bool, pin: bool, cores_per: int = 2):
+    """Launch `nprocs` children; with `pin`, each gets its own `cores_per`
+    host cores (taskset) so strong-scaling timings compare fixed per-host
     resources — the honest DCN analog on one machine."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -128,7 +128,8 @@ def _spawn(nprocs: int, bench: bool, pin: bool):
         argv = [sys.executable, os.path.abspath(__file__), "--proc", str(i),
                 "--nprocs", str(nprocs)] + (["--bench"] if bench else [])
         if pin:
-            argv = ["taskset", "-c", f"{2 * i},{2 * i + 1}"] + argv
+            cores = ",".join(str(cores_per * i + j) for j in range(cores_per))
+            argv = ["taskset", "-c", cores] + argv
         procs.append(subprocess.Popen(
             argv, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,

@@ -382,6 +382,10 @@ def main():
                          " reference's LEFT./RIGHT. K/D/R/P rectification"
                          " blocks (Tracking.cc:299-323) so the replay must"
                          " remap on device before extraction")
+    ap.add_argument("--loop-seconds", type=float, default=None,
+                    help="override the lap period (default 60 s, 40 s"
+                         " fisheye): frames > loop-seconds*20 revisit the"
+                         " start and exercise loop closure")
     args = ap.parse_args()
     if args.raw_stereo:
         args.stereo = True
@@ -398,6 +402,8 @@ def main():
         TRAJ_R, TRAJ_Z, T_LOOP = 1.4, 1.3, 40.0
         dirs_l = kb8_dir_grid((FE_W, FE_H), FE_INTR_L)
         dirs_r = kb8_dir_grid((FE_W, FE_H), FE_INTR_R)
+    if args.loop_seconds is not None:
+        T_LOOP = args.loop_seconds
 
     R_raw = np.eye(3)
     if args.raw_stereo:
