@@ -166,7 +166,7 @@ def bench_scaling():
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                           "scripts", "bench_ba_scaling.py")],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1800,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):

@@ -327,9 +327,69 @@ def pnp_ransac(
     R, t = refit(mask)
     _, mask2 = count(R, t, 4.0)
     R, t = refit(mask2)
+    # MLPnP's maximum-likelihood stage (`/root/reference/src/
+    # MLPnPsolver.cpp:139-160`): Gauss-Newton on the bearing-vector
+    # nullspace residual over the loose-gate inliers. The DLT minimizes an
+    # algebraic cost; this minimizes the geometric one the reference's
+    # refineGaussNewton does, which matters under high keypoint noise.
+    _, mask3 = count(R, t, 4.0)
+    R, t = mlpnp_refine(R, t, Xw, rays, mask3)
     n_final, inl_final = count(R, t, 1.0)
     ok = n_final >= min_inliers
     return ok, R, t, inl_final
+
+
+def _bearing_nullspace(b: jnp.ndarray):
+    """Orthonormal (r, s) spanning the tangent plane of unit bearings
+    b (n,3) — the reference's per-point nullspace(f) in
+    `MLPnPsolver.cpp:computePose` (it uses the SVD of f; a cross-product
+    basis spans the same plane and is branch-free)."""
+    # Axis least aligned with b, one-hot per row (no data-dependent branch).
+    pick = jnp.argmin(jnp.abs(b), axis=-1)  # (n,)
+    e = jax.nn.one_hot(pick, 3, dtype=b.dtype)  # (n,3)
+    r = jnp.cross(b, e)
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+    s = jnp.cross(b, r)
+    return r, s
+
+
+def mlpnp_refine(
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    Xw: jnp.ndarray,
+    rays: jnp.ndarray,
+    mask: jnp.ndarray,
+    iters: int = 5,
+):
+    """Maximum-likelihood PnP polish (`MLPnPsolver.cpp:139-160`
+    refineGaussNewton): minimize the projections of the predicted bearing
+    v_i = normalize(R X_i + t) onto the observed bearing's 2-D nullspace,
+    Gauss-Newton over a left-multiplied se(3) twist. Fixed iteration
+    count, one 6x6 solve per iter — everything else is batched matmuls."""
+    from . import lie
+
+    b = jnp.concatenate([rays, jnp.ones_like(rays[:, :1])], axis=-1)
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)  # (n,3) observed
+    nr, ns = _bearing_nullspace(b)
+    w = mask.astype(Xw.dtype)
+
+    def residuals(dR_t, R, t):
+        Rc = lie.exp_so3(dR_t[:3]) @ R
+        tc = t + dR_t[3:]
+        v = Xw @ Rc.T + tc
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        return jnp.stack([jnp.sum(nr * v, -1), jnp.sum(ns * v, -1)], -1) * w[:, None]
+
+    def step(_, Rt):
+        R, t = Rt
+        zero = jnp.zeros(6, Xw.dtype)
+        e = residuals(zero, R, t).reshape(-1)
+        J = jax.jacfwd(lambda d: residuals(d, R, t).reshape(-1))(zero)
+        H = J.T @ J + 1e-9 * jnp.eye(6, dtype=Xw.dtype)
+        d = -jnp.linalg.solve(H, J.T @ e)
+        return lie.exp_so3(d[:3]) @ R, t + d[3:]
+
+    return jax.lax.fori_loop(0, iters, step, (R, t))
 
 
 # ---------------------------------------------------------------------------

@@ -80,12 +80,14 @@ def time_solve(scene, prob, mesh, iters=5, pcg=30, reps=5):
     return best
 
 
-def pinned_two_process():
-    """Run the taskset-pinned 2-OS-process bench (the headline metric)."""
+def pinned_bench(flag):
+    """Run a taskset-pinned multi-OS-process bench: `--bench` is the
+    2-host/2-core headline; `--curve` the {1,2,4}-host 1-core ladder
+    (the >=4-shard scaling point on this 4-core host)."""
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "drive_distributed_ba.py"),
-             "--bench"],
+             flag],
             capture_output=True, text=True, timeout=1500,
         )
         for line in reversed(out.stdout.strip().splitlines()):
@@ -103,12 +105,17 @@ def main():
     t1 = time_solve(scene, prob, ba_sharded.make_mesh(devs[:1]))
     t2 = time_solve(scene, prob, ba_sharded.make_mesh(devs[:2]))
     eff2 = t1 / (2 * t2)
-    pinned = pinned_two_process()
+    pinned = pinned_bench("--bench")
+    curve = pinned_bench("--curve")
     out = {
         "pinned_2proc": pinned,
+        "pinned_curve_1core": curve,
         "scaling_efficiency_2host": (
             pinned or {}
         ).get("scaling_efficiency_2host"),
+        "scaling_efficiency_4host": (
+            curve or {}
+        ).get("scaling_efficiency_4host_1core"),
         "inprocess_ba_ms_1dev": round(t1 * 1e3, 1),
         "inprocess_ba_ms_2dev": round(t2 * 1e3, 1),
         "inprocess_efficiency_2dev": round(eff2, 3),
