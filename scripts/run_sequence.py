@@ -243,6 +243,11 @@ def main():
     if slam.loop_closer is not None:
         print(f"loops_closed={slam.loop_closer.n_loops_closed} "
               f"merges={slam.multimap.n_merges if slam.multimap else 0}")
+    if args.mode in ("mono-vi", "stereo-vi"):
+        ini = slam.mapper.imu_init
+        print(f"imu stages: init={slam.mapper.imu_initialized} "
+              f"viba1={getattr(ini, 'viba1_done', False)} "
+              f"viba2={getattr(ini, 'viba2_done', False)}")
     if args.timing:
         from orbslam3_tpu.utils import timing as _timing
 
