@@ -45,6 +45,23 @@ def save_tum(path: str, timestamps, Rwc_list, twc_list, scale_ts: float = 1.0):
             )
 
 
+def save_euroc(path: str, timestamps, Rwc_list, twc_list):
+    """EuRoC-format rows (`System::SaveTrajectoryEuRoC`,
+    `/root/reference/src/System.cc:699-712`): `t tx ty tz qx qy qz qw`
+    with the timestamp at fixed 6 decimals and values at 9 decimals
+    (the reference's `setprecision(6)` / `setprecision(9)` under
+    `std::fixed`). Pose semantics (largest-map selection, first-KF
+    re-rooting, body vs camera frame) are the caller's job —
+    `System.save_trajectory_euroc`."""
+    with open(path, "w") as f:
+        for ts, R, t in zip(timestamps, Rwc_list, twc_list):
+            q = _quat_from_R(np.asarray(R))
+            f.write(
+                f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n"
+            )
+
+
 def save_kitti(path: str, Rwc_list, twc_list):
     """Flattened 3x4 Twc per row (`System::SaveTrajectoryKITTI`)."""
     with open(path, "w") as f:

@@ -135,25 +135,24 @@ def _robust_cost(chi2, ok, is_stereo):
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
-def auto_dense_schur(C: int, P: int, hbm_budget_bytes: int = 8 << 30) -> bool:
+def auto_dense_schur(C: int, P: int, hbm_budget_bytes: int = 4 << 30) -> bool:
     """Pick the explicit-reduced-camera-system path when its PEAK HBM fits
     the budget; otherwise the matrix-free PCG path wins on memory.
 
-    Peak accounting (not just the resident W): `_solve_ba_dense`'s
-    accept/reject fori_loop carries TWO linearizations — the accepted base
-    and the candidate — each holding the (P,C,3,6) coupling tensor W *and*
-    HW = Hpp^-1 W, plus a transposed reshape copy of each alive during the
-    (6C,3P)@(3P,6C) reduced-system matmul. That is ~4 tensors of
-    C*P*18 f32 live at once, ~5 with the matmul scratch: peak ≈
-    5 * C*P*72 bytes. At the former C*P = 128*16384*2 cutoff this is
-    ~1.5 GB — fine on a 16 GB chip, several times the old docstring's
-    "~300 MB for W" estimate (round-3 advisor finding).
+    Peak accounting: the round-5 dense path materializes ONE (P, n_opt,
+    3, 6) coupling tensor B (the L-whitened Schur factor) per
+    linearization, with a gather scratch copy alive during the symmetric
+    dot_general — ~3 tensors of C*P*18 f32 at peak (the LM carry holds
+    (O)-sized Jacobians, not (P,C) tensors, since back-substitution runs
+    at observation level). Budgeted conservatively at the full C here
+    because GBA calls with n_opt=C.
 
     The win past the cutoff: one exact 6Cx6C solve replaces ~50 PCG matvec
     dispatches — measured 86 -> 28 ms/iter at a 128-KF/16k-point GBA on
-    v5e. Nf/O terms are ignored: observation-sized buffers are shared by
-    both paths and don't differentiate them."""
-    peak_bytes = 5 * C * P * 18 * 4
+    v5e (round 4; round 5's layout is faster still). Nf/O terms are
+    ignored: observation-sized buffers are shared by both paths and don't
+    differentiate them."""
+    peak_bytes = 3 * C * P * 18 * 4
     return peak_bytes <= hbm_budget_bytes
 
 
@@ -169,6 +168,9 @@ def solve_ba(
     point_axis_local: bool = False,
     dense_schur: bool = False,
     cam2=None,  # (params2, R_rl, t_rl) two-camera rig extrinsics
+    n_opt_prefix: int | None = None,
+    obs_per_cam: int | None = None,
+    early_stop_tol: float | None = None,
 ) -> BAResult:
     """LM bundle adjustment. `iters` ~ the reference's budgets
     (5+10 local `Optimizer.cc:1990-2012`, 10 global, 20 at init).
@@ -202,7 +204,8 @@ def solve_ba(
     if dense_schur:
         return _solve_ba_dense(
             model, params, prob, bf, iters, point_damping, axis_name,
-            point_axis_local, cam2=cam2,
+            point_axis_local, cam2=cam2, n_opt_prefix=n_opt_prefix,
+            obs_per_cam=obs_per_cam, early_stop_tol=early_stop_tol,
         )
 
     C = prob.cam_R.shape[0]
@@ -296,9 +299,29 @@ def solve_ba(
     return BAResult(cam_R=cam_R, cam_t=cam_t, points=points, obs_inlier=inlier, cost=cost)
 
 
+def _chol3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched lower Cholesky of SPD (…,3,3)."""
+    a11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], 1e-20))
+    l21 = A[..., 1, 0] / a11
+    l31 = A[..., 2, 0] / a11
+    a22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, 1e-20))
+    l32 = (A[..., 2, 1] - l31 * l21) / a22
+    a33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, 1e-20))
+    z = jnp.zeros_like(a11)
+    return jnp.stack(
+        [
+            jnp.stack([a11, z, z], -1),
+            jnp.stack([l21, a22, z], -1),
+            jnp.stack([l31, l32, a33], -1),
+        ],
+        -2,
+    )
+
+
 def _solve_ba_dense(
     model, params, prob: BAProblem, bf, iters, point_damping,
-    axis_name, point_axis_local, cam2=None,
+    axis_name, point_axis_local, cam2=None, n_opt_prefix=None,
+    obs_per_cam=None, early_stop_tol=None,
 ) -> BAResult:
     """Explicit-reduced-camera-system LM (the `dense_schur=True` path).
 
@@ -312,119 +335,186 @@ def _solve_ba_dense(
     carry a fixed (lambda-independent) damping so S depends on lambda
     only through its camera diagonal.
 
-    The Schur term is built as one MXU matmul: per-obs coupling blocks
-    W_o = Jp^T Jc scattered into (P,C,3,6), then
-    S_cross = reshape(W)^T-contract-(p,3)-reshape(Hpp^-1 W).
+    Round-5 kernel layout (profiled on v5e; see BASELINE.md roofline):
+
+    * `n_opt_prefix` (static): the optimizable cameras are the FIRST
+      `n_opt` rows of the camera axis (the local-BA window; the fixed
+      frontier follows). Fixed cameras have zero camera-Jacobians, so the
+      Schur coupling tensor and the reduced system only need the window
+      columns — S is (6*n_opt)^2, and the (P, n_opt) coupling gather is
+      ~C/n_opt-fold smaller than the full (P, C) one.
+    * The Schur cross term is ONE symmetric `dot_general`: with
+      Hpp_d^-1 = L L^T (closed-form 3x3 Cholesky), per-obs
+      G_o = L_p^T (Jp_o^T Jc_o) gathered into (P, n_opt, 3, 6) and
+      contracted over (p, 3) — S_cross = B^T B with no transposed copies
+      and no separate Hpp^-1 W tensor.
+    * `obs_per_cam` (static): when observations are camera-major with a
+      fixed per-camera count (the local-BA assembly), Hcc/bc come from
+      ONE batched augmented matmul (C, 3*opc, 7)^T-contract instead of a
+      one-hot matmul (no (O, C) materialization).
+    * Hpp|bp are ONE fused (O,12) segment scatter (TPU scatter cost is
+      per-row, so fusing the payloads halves it).
+    * Back-substitution runs at observation level (tp via one (O,3)
+      segment-sum), so the LM carry holds (O)-sized Jacobians + the
+      (P, n_opt) B tensor instead of two (P, C) coupling tensors.
+    * `early_stop_tol` (static): if set, the LM loop is a while_loop that
+      stops after an ACCEPTED step improves relative cost by less than
+      the tolerance — the analog of the reference's chi2-driven early
+      abort (`Optimizer.cc:1811` 5+10 schedule with `mbAbortBA`).
     """
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
     O = prob.obs_cam.shape[0]
+    n_opt = C if n_opt_prefix is None else int(n_opt_prefix)
     dtype = prob.cam_R.dtype
     eye6 = jnp.eye(6, dtype=dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
-    diag_idx = jnp.arange(C)
+    diag_idx = jnp.arange(n_opt)
     fixed = prob.cam_fixed
+    fixed_w = fixed[:n_opt]  # dynamic-fixed inside the window prefix
     obs_shared = axis_name is not None and not point_axis_local
 
     # A (point, camera) pair holds AT MOST ONE observation (a map point
     # occupies one feature slot per keyframe — add_keyframe/fuse Replace
-    # semantics dedupe), so the W coupling blocks are a PLACEMENT, not a
-    # sum: build the (P*C -> obs row) index map once per solve (scatter of
-    # int32 rows) and turn every per-iteration W build into a gather —
-    # measured 2.2x faster than the (P*C)-segment scatter-add on TPU v5e.
-    # Invalid observations are redirected to a dump slot so they can
-    # never shadow a real one; unobserved (p,c) slots read the zero row.
-    pk = prob.obs_point * C + prob.obs_cam
-    pk_safe = jnp.where(prob.obs_valid, pk, P * C)
+    # semantics dedupe), so the coupling blocks are a PLACEMENT, not a
+    # sum: build the (P*n_opt -> obs row) index map once per solve and
+    # turn every per-iteration build into a gather (TPU gathers run ~10x
+    # faster per row than scatter-adds — profiled r5). Invalid rows and
+    # fixed-camera rows are redirected to a dump slot.
+    in_win = prob.obs_cam < n_opt
+    pk = prob.obs_point * n_opt + jnp.where(in_win, prob.obs_cam, 0)
+    pk_safe = jnp.where(prob.obs_valid & in_win, pk, P * n_opt)
     inv_idx = (
-        jnp.full(P * C + 1, O, jnp.int32)
+        jnp.full(P * n_opt + 1, O, jnp.int32)
         .at[pk_safe]
         .set(jnp.arange(O, dtype=jnp.int32), unique_indices=True)
-    )[: P * C]
+    )[: P * n_opt]
+
+    def _cam_reduce(Jc_w, e_w):
+        """(Hcc (C,6,6), bc (C,6)) via batched matmul when camera-major,
+        else one-hot matmul."""
+        if obs_per_cam is not None:
+            opc = int(obs_per_cam)
+            A = jnp.concatenate([Jc_w, e_w[:, :, None]], axis=-1)  # (O,3,7)
+            A = A.reshape(C, opc * 3, 7)
+            H7 = jnp.einsum("cki,ckj->cij", A, A)  # (C,7,7)
+            return H7[:, :6, :6], -H7[:, :6, 6]
+        cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)  # (O, C)
+        Hcc = (cam_1h.T @ jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)
+               .reshape(O, 36)).reshape(C, 6, 6)
+        bc = -(cam_1h.T @ jnp.einsum("oij,oi->oj", Jc_w, e_w))
+        return Hcc, bc
 
     def linearize_pack(cam_R, cam_t, points):
-        """Returns (S_und (C,6,C,6), b_red (C,6), Hcc (C,6,6),
-        bp (P,3), Hpp_inv (P,3,3), W (P,C,3,6), cost) — everything a
-        damped re-solve needs, reduced across shards in ONE psum."""
+        """Returns (S_und (n,6,n,6), b_red (n,6), Hcc_w (n,6,6),
+        bp (P,3), Hpp_inv (P,3,3), B (P,n,3,6), Jc_w, Jp_w, e_w, cost) —
+        everything a damped re-solve needs, reduced across shards in ONE
+        psum."""
         e_w, Jc_w, Jp_w, chi2, ok, is_st = _linearize(
             model, params, bf, cam_R, cam_t, points, prob,
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
         cost_l = _robust_cost(chi2, ok, is_st)
-        seg = jax.ops.segment_sum
-        # Camera-side reductions as ONE-HOT MATMULS on the MXU instead of
-        # segment scatters (C is small, the (O,C) one-hot is cheap; TPU
-        # scatter-adds run at a fraction of matmul throughput).
-        cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)  # (O, C)
-        Hcc_l = (cam_1h.T @ jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)
-                 .reshape(O, 36)).reshape(C, 6, 6)
-        bc_l = -(cam_1h.T @ jnp.einsum("oij,oi->oj", Jc_w, e_w))
-        Hpp_l = seg(jnp.einsum("oij,oik->ojk", Jp_w, Jp_w), prob.obs_point,
-                    num_segments=P)
-        bp_l = -seg(jnp.einsum("oij,oi->oj", Jp_w, e_w), prob.obs_point,
-                    num_segments=P)
-        Wv = jnp.einsum("oia,oib->oab", Jp_w, Jc_w).reshape(O, 18)
-        Wv = jnp.concatenate([Wv, jnp.zeros((1, 18), dtype)], 0)
-        W_l = Wv[inv_idx].reshape(P, C, 3, 6)
+        Hcc_l, bc_l = _cam_reduce(Jc_w, e_w)
+        # Fused point-side scatter: [Jp^T Jp | -Jp^T e] as one (O,12) row.
+        pp = jnp.einsum("oij,oik->ojk", Jp_w, Jp_w).reshape(O, 9)
+        pe = -jnp.einsum("oij,oi->oj", Jp_w, e_w)  # (O,3)
+        ppe = jax.ops.segment_sum(
+            jnp.concatenate([pp, pe], axis=-1), prob.obs_point,
+            num_segments=P,
+        )  # (P,12)
         if obs_shared:
             # Observations sharded, points replicated: the point-side
             # partial sums must be global BEFORE Hpp^-1 — one (heavier)
             # psum; everything after is computed redundantly per shard.
-            Hpp_g, bp, W, Hcc_g, bc_g, cost = jax.lax.psum(
-                (Hpp_l, bp_l, W_l, Hcc_l, bc_l, cost_l), axis_name
+            ppe, Hcc_g, bc_g, cost = jax.lax.psum(
+                (ppe, Hcc_l, bc_l, cost_l), axis_name
             )
         else:
-            Hpp_g, bp, W, Hcc_g, bc_g, cost = (
-                Hpp_l, bp_l, W_l, Hcc_l, bc_l, cost_l
-            )
+            Hcc_g, bc_g, cost = Hcc_l, bc_l, cost_l
+        Hpp_g = ppe[:, :9].reshape(P, 3, 3)
+        bp = ppe[:, 9:]
         # Lambda-INDEPENDENT point damping: absolute floor + small
         # relative Tikhonov, so a rejected step can re-damp S without
         # rebuilding the Schur term.
-        Hpp_d = Hpp_g + (point_damping + 1e-4 * jnp.abs(Hpp_g)) * eye3[None]
+        Hpp_d = Hpp_g + (point_damping + 1e-4 * jnp.abs(Hpp_g)) * jnp.eye(
+            3, dtype=dtype)[None]
         Hpp_inv = lm.inv3x3(Hpp_d)
-        HW = jnp.einsum("pij,pcjb->pcib", Hpp_inv, W)  # (P,C,3,6)
-        # Contract (p,3): one (6C x 3P)@(3P x 6C) matmul.
-        Wm = W.transpose(1, 3, 0, 2).reshape(C * 6, P * 3)
-        HWm = HW.transpose(0, 2, 1, 3).reshape(P * 3, C * 6)
-        S_cross = (Wm @ HWm).reshape(C, 6, C, 6)
+        L = _chol3x3(Hpp_inv)  # Hpp_d^-1 = L L^T
+        # G_o = L_p^T (Jp_o^T Jc_o): fold the point elimination into the
+        # per-obs blocks BEFORE the dense gather, so the Schur cross term
+        # is a single symmetric contraction of one tensor.
+        JpL = jnp.einsum("oij,ojk->oik", Jp_w, L[prob.obs_point])  # Jp L
+        G = jnp.einsum("oia,oib->oab", JpL, Jc_w).reshape(O, 18)  # L^T Jp^T Jc
+        G = jnp.concatenate([G, jnp.zeros((1, 18), dtype)], 0)
+        B_l = G[inv_idx].reshape(P, n_opt, 3, 6)
+        if obs_shared:
+            # Cross-shard obs of the same point break the symmetric-
+            # contraction factorization — reduce B first.
+            B = jax.lax.psum(B_l, axis_name)
+        else:
+            B = B_l
+        # S_cross = B^T-contract-(p,i)-B: one MXU dot_general, no copies.
+        S_cross = jax.lax.dot_general(
+            B, B, (((0, 2), (0, 2)), ((), ()))
+        )  # (n,6,n,6)
         y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
-        b_red_l = bc_g - jnp.einsum("pcab,pa->cb", W, y0)
+        # b_red = bc - W^T y0 at observation level (no dense W).
+        v = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])  # (O,3)
+        if obs_per_cam is not None:
+            wy = jnp.einsum("oij,oi->oj", Jc_w, v).reshape(
+                C, int(obs_per_cam), 6).sum(axis=1)
+        else:
+            cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)
+            wy = cam_1h.T @ jnp.einsum("oij,oi->oj", Jc_w, v)
+        b_red_l = (bc_g - (jax.lax.psum(wy, axis_name)
+                           if obs_shared else wy))[:n_opt]
         S_l = -S_cross
-        S_l = S_l.at[diag_idx, :, diag_idx, :].add(Hcc_g)
+        S_l = S_l.at[diag_idx, :, diag_idx, :].add(Hcc_g[:n_opt])
         if obs_shared or axis_name is None:
-            S_und, b_red = S_l, b_red_l
+            S_und, b_red, Hcc_w = S_l, b_red_l, Hcc_g[:n_opt]
         else:
             # Point-sharded layout: THE one collective per LM iteration.
             pack = jnp.concatenate([
-                S_l.reshape(-1), b_red_l.reshape(-1), Hcc_g.reshape(-1),
-                cost[None],
+                S_l.reshape(-1), b_red_l.reshape(-1),
+                Hcc_g[:n_opt].reshape(-1), cost[None],
             ])
             pack = jax.lax.psum(pack, axis_name)
-            n_s = C * 6 * C * 6
-            n_b = C * 6
-            S_und = pack[:n_s].reshape(C, 6, C, 6)
-            b_red = pack[n_s : n_s + n_b].reshape(C, 6)
-            Hcc_g = pack[n_s + n_b : n_s + n_b + C * 36].reshape(C, 6, 6)
+            n_s = n_opt * 6 * n_opt * 6
+            n_b = n_opt * 6
+            S_und = pack[:n_s].reshape(n_opt, 6, n_opt, 6)
+            b_red = pack[n_s : n_s + n_b].reshape(n_opt, 6)
+            Hcc_w = pack[n_s + n_b : n_s + n_b + n_opt * 36].reshape(
+                n_opt, 6, 6)
             cost = pack[-1]
-        return S_und, b_red, Hcc_g, bp, Hpp_inv, W, cost
+        return (S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, cost)
 
     def damped_step(lin, state, lamb):
-        S_und, b_red, Hcc_g, bp, Hpp_inv, W, _ = lin
+        S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, _ = lin
         cam_R, cam_t, points = state
-        damp = lamb * jnp.abs(Hcc_g) * eye6[None] + 1e-8 * eye6[None]
+        damp = lamb * jnp.abs(Hcc_w) * eye6[None] + 1e-8 * eye6[None]
         S_g = S_und.at[diag_idx, :, diag_idx, :].add(damp)
-        keep = (~fixed).astype(dtype)
+        keep = (~fixed_w).astype(dtype)
         S_g = S_g * keep[:, None, None, None] * keep[None, None, :, None]
         S_g = S_g.at[diag_idx, :, diag_idx, :].add(
-            jnp.where(fixed, 1.0, 0.0)[:, None, None] * eye6[None]
+            jnp.where(fixed_w, 1.0, 0.0)[:, None, None] * eye6[None]
         )
-        S = S_g.reshape(C * 6, C * 6)
+        S = S_g.reshape(n_opt * 6, n_opt * 6)
         S = 0.5 * (S + S.T)
-        rhs = jnp.where(fixed[:, None], 0.0, b_red)
-        dc = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(C, 6)
-        dc = jnp.where(fixed[:, None], 0.0, dc)
-        # Back-substitute points through the stored coupling blocks.
-        tp = jnp.einsum("pcab,cb->pa", W, dc)
+        rhs = jnp.where(fixed_w[:, None], 0.0, b_red)
+        # S is SPD after damping + identity rows: Cholesky, not LU.
+        chol = jax.scipy.linalg.cho_factor(
+            S + 1e-7 * jnp.eye(n_opt * 6, dtype=dtype), lower=True)
+        dc_w = jax.scipy.linalg.cho_solve(chol, rhs.reshape(-1)).reshape(
+            n_opt, 6)
+        dc_w = jnp.where(fixed_w[:, None], 0.0, dc_w)
+        dc = jnp.zeros((C, 6), dtype).at[:n_opt].set(dc_w)
+        # Back-substitute points at observation level:
+        # dp = Hpp_inv (bp - sum_o Jp^T (Jc dc)).
+        u = jnp.einsum("oij,oj->oi", Jc_w, dc[prob.obs_cam])  # (O,3)
+        tp_l = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", Jp_w, u), prob.obs_point,
+            num_segments=P)
+        tp = jax.lax.psum(tp_l, axis_name) if obs_shared else tp_l
         dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - tp)
         dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
         dR, dt = lie.exp_se3(dc)
@@ -439,21 +529,31 @@ def _solve_ba_dense(
     lam0 = jnp.asarray(1e-4, jnp.float32)
     cand0 = damped_step(lin0, base, lam0)
 
-    def body(_, carry):
-        base, lin, lam, cand = carry
+    def body(carry):
+        i, done, base, lin, lam, cand = carry
         lin_c = linearize_pack(*cand)
         accept = lin_c[-1] < lin[-1]
+        if early_stop_tol is not None:
+            rel = (lin[-1] - lin_c[-1]) / jnp.maximum(lin[-1], 1e-12)
+            done = accept & (rel < early_stop_tol)
         # lax.cond (not elementwise where): selects whole buffers — the
-        # carried linearization includes the (P,C,3,6) coupling blocks,
-        # which a where-blend would stream through memory twice per iter.
+        # carried linearization includes the (O)-sized Jacobians, which a
+        # where-blend would stream through memory twice per iter.
         base, lin = jax.lax.cond(
             accept, lambda: (cand, lin_c), lambda: (base, lin)
         )
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         cand = damped_step(lin, base, lam)
-        return (base, lin, lam, cand)
+        return (i + 1, done, base, lin, lam, cand)
 
-    base, lin, _, _ = jax.lax.fori_loop(0, iters, body, (base, lin0, lam0, cand0))
+    init = (jnp.asarray(0), jnp.asarray(False), base, lin0, lam0, cand0)
+    if early_stop_tol is None:
+        carry = init
+        carry = jax.lax.fori_loop(0, iters, lambda _, c: body(c), carry)
+    else:
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < iters) & ~c[1], body, init)
+    _, _, base, lin, _, _ = carry
     cam_R, cam_t, points = base
     cost = lin[-1]
     _, _, _, chi2, ok, is_st = _linearize(
@@ -470,6 +570,6 @@ solve_ba_jit = jax.jit(
     solve_ba,
     static_argnames=(
         "model", "iters", "pcg_iters", "axis_name", "point_axis_local",
-        "dense_schur",
+        "dense_schur", "n_opt_prefix", "obs_per_cam", "early_stop_tol",
     ),
 )

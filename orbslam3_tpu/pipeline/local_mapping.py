@@ -51,6 +51,9 @@ import os as _os
 
 WINDOW = int(_os.environ.get("ORBSLAM3_TPU_LBA_WINDOW", 48))
 FIXED = int(_os.environ.get("ORBSLAM3_TPU_LBA_FIXED", 128))
+# Per-camera observation slots after validity compaction (see local_ba):
+# every (O)-sized solver kernel runs at obs_cap/Nf of the raw row count.
+OBS_CAP = int(_os.environ.get("ORBSLAM3_TPU_LBA_OBS_CAP", 768))
 
 
 def lba_caps(Kmax: int):
@@ -113,10 +116,19 @@ def triangulate_pair(
         return jnp.stack([p[..., 0:1] * P[2] - P[0], p[..., 1:2] * P[2] - P[1]], axis=-2)
 
     A = jnp.concatenate([rows(P1, p1n), rows(P2, p2n)], axis=-2)  # (N,4,4)
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[..., -1, :]
-    w = X[..., 3:4]
-    Xw = X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    # Inhomogeneous DLT: fix w=1 and solve the 4x3 least squares
+    # A[:, :3] X = -A[:, 3] via closed-form 3x3 normal equations. The
+    # reference SVDs the homogeneous 4x4 (`TwoViewReconstruction.cc:
+    # 818`); batched small-matrix SVD is ~70 ms on a v5e for one
+    # triangulation pass (iterative Jacobi), while this is three fused
+    # einsums. Near-infinity points where the normal matrix degenerates
+    # produce garbage positions that the parallax/chi2/cheirality gates
+    # below reject, exactly as they reject the SVD solution's.
+    A3 = A[..., :3]
+    a4 = A[..., 3]
+    N3 = jnp.einsum("nki,nkj->nij", A3, A3)
+    brhs = -jnp.einsum("nki,nk->ni", A3, a4)
+    Xw = jnp.einsum("nij,nj->ni", lm.inv3x3(N3), brhs)
 
     # Gates.
     Xc1 = lie.se3_apply(R1, t1, Xw)
@@ -305,18 +317,31 @@ def local_ba(
     win_mask &= state.mp_valid
 
     # Observations: all features of all participating KFs, masked to
-    # window points.
+    # window points — then COMPACTED per camera to OBS_CAP slots (valid
+    # obs first via a per-row stable argsort), so every (O)-sized kernel
+    # in the solver runs at ~0.75x the raw Nf row count and observations
+    # stay camera-major with a FIXED per-camera count (which lets the
+    # solver do Hcc/bc as one batched matmul instead of a one-hot —
+    # `optim/ba.py` `obs_per_cam`). KFs carrying more than OBS_CAP valid
+    # window observations drop the overflow (slot-order tail); at the
+    # production Nf=1024 / ~600-feature replays this is empty.
     Nf = state.Nf
-    obs_mp = state.kf_mp[ids].reshape(-1)  # (C*Nf,)
-    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), Nf)
-    obs_uv = state.kf_uv[ids].reshape(-1, 2)
-    obs_ur = state.kf_ur[ids].reshape(-1)
-    obs_oct = state.kf_octave[ids].reshape(-1)
-    feat_ok = state.kf_feat_valid[ids].reshape(-1)
-    obs_pt = jnp.clip(obs_mp, 0)
-    obs_valid = (
-        (obs_mp >= 0) & feat_ok & ok_kf[obs_cam] & win_mask[obs_pt]
+    obs_cap = min(OBS_CAP, Nf)
+    kf_mp_w = state.kf_mp[ids]  # (C,Nf)
+    feat_ok_w = state.kf_feat_valid[ids]
+    valid_w = (
+        (kf_mp_w >= 0) & feat_ok_w & ok_kf[:, None]
+        & win_mask[jnp.clip(kf_mp_w, 0)]
     )
+    order = jnp.argsort(~valid_w, axis=1, stable=True)[:, :obs_cap]  # (C,cap)
+    crow = jnp.arange(C)[:, None]
+    obs_mp = kf_mp_w[crow, order].reshape(-1)
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), obs_cap)
+    obs_uv = state.kf_uv[ids][crow, order].reshape(-1, 2)
+    obs_ur = state.kf_ur[ids][crow, order].reshape(-1)
+    obs_oct = state.kf_octave[ids][crow, order].reshape(-1)
+    obs_pt = jnp.clip(obs_mp, 0)
+    obs_valid = valid_w[crow, order].reshape(-1)
     obs_s2 = sigma2_table[jnp.clip(obs_oct, 0, sigma2_table.shape[0] - 1)]
 
     # Compact the point axis to the window's points (fixed cap): the
@@ -345,11 +370,16 @@ def local_ba(
         obs_cam=obs_cam, obs_point=obs_pt_c, obs_uv=obs_uv, obs_ur=obs_ur,
         obs_sigma2=obs_s2, obs_valid=obs_valid,
     )
-    # Explicit reduced camera system: the dense 6Cx6C solve turns
-    # ~10*pcg_iters tiny matvec ops into 3 MXU ops — the LBA stops being
-    # dispatch-bound (see optim/ba.py dense_schur).
+    # Explicit reduced camera system restricted to the WINDOW prefix
+    # (fixed-frontier cameras have zero camera-Jacobians, so S and the
+    # coupling gather only span the `Wn` optimizable columns); Hcc via
+    # the camera-major batched matmul; chi2-driven early stop mirrors the
+    # reference's abortable 5+10 LM schedule (`Optimizer.cc:1811`).
     res = ba_mod.solve_ba(model, params, prob, bf=bf, iters=iters,
-                          dense_schur=True)
+                          dense_schur=True,
+                          n_opt_prefix=window_ids.shape[0],
+                          obs_per_cam=obs_cap,
+                          early_stop_tol=1e-3)
 
     # Write back: window poses + compacted window points.
     Wn = window_ids.shape[0]
@@ -361,8 +391,8 @@ def local_ba(
     )
     # Remove outlier observations (ref: Optimizer.cc:2060-2090 erase).
     bad_obs = obs_valid & ~res.obs_inlier
-    kf_row = jnp.repeat(ids, Nf)
-    feat_idx = jnp.tile(jnp.arange(Nf, dtype=jnp.int32), C)
+    kf_row = jnp.repeat(ids, obs_cap)
+    feat_idx = order.reshape(-1).astype(jnp.int32)
     cur = new_state.kf_mp[kf_row, feat_idx]
     new_kf_mp = new_state.kf_mp.at[kf_row, feat_idx].set(jnp.where(bad_obs, -1, cur))
     new_state = new_state._replace(kf_mp=new_kf_mp)
@@ -811,16 +841,28 @@ class LocalMapper:
             fixed = [oldest]
         win_pad = np.full(WIN, -1, np.int32)
         win_pad[: len(window)] = window
-        fix_pad = np.full(FIX, -1, np.int32)
+        # Bucket the fixed-frontier pad so the solver compiles at the
+        # SMALLEST static camera count covering this call: the live maps
+        # at-scale replays reach (~80 KFs after culling) leave ~30
+        # frontier KFs, and padding them to FIX=128 would make every
+        # O-sized kernel stream 2.2x the rows it needs. One extra
+        # compile per bucket, served by the persistent compile cache.
+        fix_bucket = next(b for b in (FIX // 4, FIX // 2, FIX)
+                          if len(fixed) <= b)
+        fix_pad = np.full(fix_bucket, -1, np.int32)
         fix_pad[: len(fixed)] = fixed
         # Always keep KF 0 fixed to anchor the gauge.
         if 0 in window.tolist():
             win_pad = np.asarray([k if k != 0 else -1 for k in win_pad], np.int32)
             if 0 not in fixed:
-                for i in range(FIX):
+                for i in range(len(fix_pad)):
                     if fix_pad[i] < 0:
                         fix_pad[i] = 0
                         break
+                else:  # bucket full — grow to the next one for KF0
+                    fix_pad = np.concatenate(
+                        [fix_pad, np.full(len(fix_pad), -1, np.int32)])
+                    fix_pad[len(fix_pad) // 2] = 0
         new_state, cost, n_out = local_ba(
             self.model, self.params, self.store.state,
             jnp.asarray(win_pad), jnp.asarray(fix_pad), self.sigma2_table,
@@ -1217,9 +1259,10 @@ class LocalMapper:
 
     def _global_ba_small(self, kf_id: int):
         """Initial-map BA: optimize both initial KFs (first fixed)."""
-        win = np.full(WINDOW, -1, np.int32)
+        WIN, FIX = lba_caps(self.store.state.Kmax)
+        win = np.full(WIN, -1, np.int32)
         win[0] = kf_id
-        fix = np.full(FIXED, -1, np.int32)
+        fix = np.full(max(FIX // 4, 1), -1, np.int32)
         fix[0] = 0
         new_state, cost, _ = local_ba(
             self.model, self.params, self.store.state,

@@ -237,38 +237,132 @@ class LoopCloser:
         if int(ref.n_inliers) < self.min_sim3_inliers:
             return None
 
-        # 4) Guided-projection support gate (`LoopClosing.cc:633-637`
-        #    nProjMatches): project the candidate's map points through the
-        #    refined Sim3 into KF1 and require enough windowed descriptor
-        #    matches — scaled to our feature budget like the BoW gates.
-        nproj = self._projection_support(
-            kf_id, cand, np.asarray(ref.R), np.asarray(ref.t), float(ref.s)
-        )
+        # 4) SECOND ROUND (`LoopClosing.cc:763-840`): re-match by guided
+        #    projection under the Sim3 over the CANDIDATE'S COVISIBILITY-
+        #    WINDOW point cloud (5 best covisibles + cand,
+        #    `LoopClosing.cc:765-789`), re-optimize the Sim3 on the
+        #    AUGMENTED correspondence set, then apply the tight
+        #    nProjOptMatches gate with the refined transform. This is the
+        #    round that rescues marginal-overlap closures: the BoW match
+        #    set alone under-samples the overlap, while the coarse-Sim3
+        #    projection recruits every cloud point that lands on a
+        #    matching KF1 feature.
         n_feat = s.kf_desc.shape[1]
         min_proj = max(self.min_sim3_inliers, int(round(50 * n_feat / 1000.0)))
-        if nproj < min_proj:
+        min_proj_opt = int(round(80 * n_feat / 1000.0))
+        cloud = self._cov_window_points(cand, exclude=kf_id)
+        mm, X1p, cloud_ok = self._sim3_projection_matches(
+            kf_id, cloud, R2, t2, np.asarray(ref.R), np.asarray(ref.t),
+            float(ref.s), radius=8.0, max_dist=matching.TH_HIGH,
+        )
+        n_coarse = int(np.asarray(mm.valid).sum())
+        if n_coarse < min_proj:  # nProjMatches=50 gate (`:806`)
+            return None
+
+        # Augmented pairs indexed by KF1 feature: forward residual
+        # (cloud point -> KF1 pixel) always; backward residual only when
+        # the matched point is also OBSERVED in the candidate KF
+        # (`OptimizeSim3` bAllPoints=true semantics, `Optimizer.cc:4255`).
+        midx = np.asarray(mm.idx)  # per-cloud-point -> KF1 feature
+        mval = np.asarray(mm.valid)
+        Nf = n_feat
+        a_X2 = np.zeros((Nf, 3), np.float32)
+        a_uv2 = np.zeros((Nf, 2), np.float32)
+        a_s2_2 = np.zeros(Nf, np.float32)  # 0 => forward-only pair
+        a_valid = np.zeros(Nf, bool)
+        feat_of = np.clip(midx, 0, Nf - 1)
+        pts_w_cloud = np.asarray(s.mp_pos)[np.clip(cloud, 0, None)]
+        X2_cloud = (R2 @ pts_w_cloud.T).T + t2
+        a_X2[feat_of[mval]] = X2_cloud[mval]
+        a_valid[feat_of[mval]] = True
+        # Backward observations: cloud points present in the cand's row.
+        slot_of_point = np.full(int(np.asarray(s.mp_pos).shape[0]), -1,
+                                np.int64)
+        slot_of_point[mp2[mp2 >= 0]] = np.flatnonzero(mp2 >= 0)
+        cl_slot = slot_of_point[np.clip(cloud, 0, None)]
+        has_bk = mval & (cl_slot >= 0)
+        uv2_all = np.asarray(s.kf_uv[cd_j])
+        oct2_all = np.asarray(s.kf_octave[cd_j])
+        a_uv2[feat_of[has_bk]] = uv2_all[cl_slot[has_bk]]
+        a_s2_2[feat_of[has_bk]] = s2t[
+            np.clip(oct2_all[cl_slot[has_bk]], 0, len(s2t) - 1)]
+        # X1 side: the KF1 feature's OWN map point (needed for the
+        # backward residual; weightless where absent).
+        own1 = mp1 >= 0
+        X1_own = np.zeros((Nf, 3), np.float32)
+        X1_own[own1] = (R1 @ np.asarray(s.mp_pos)[mp1[own1]].T).T + t1
+        a_s2_2 = np.where(own1, a_s2_2, 0.0).astype(np.float32)
+        a_s2_1 = s2t[np.clip(oct1, 0, len(s2t) - 1)].astype(np.float32)
+        uv1_all = np.asarray(s.kf_uv[kf_j])
+
+        ref2 = sim3_mod.optimize_sim3(
+            self.model, self.params,
+            jnp.asarray(ref.R), jnp.asarray(ref.t), jnp.asarray(float(ref.s)),
+            jnp.asarray(X1_own), jnp.asarray(a_X2),
+            jnp.asarray(uv1_all, jnp.float32), jnp.asarray(a_uv2),
+            jnp.asarray(a_s2_1), jnp.asarray(a_s2_2),
+            jnp.asarray(a_valid), fix_scale=self.inertial,
+        )
+        if int(ref2.n_inliers) < self.min_sim3_inliers:
+            return None
+
+        # Tight gate with the REFINED Sim3 (`LoopClosing.cc:826-832`:
+        # th=5, ratio 1.0, nProjOptMatches=80 scaled to our budget).
+        mm2, _, _ = self._sim3_projection_matches(
+            kf_id, cloud, R2, t2, np.asarray(ref2.R), np.asarray(ref2.t),
+            float(ref2.s), radius=5.0, max_dist=matching.TH_HIGH,
+        )
+        n_tight = int(np.asarray(mm2.valid).sum())
+        if n_tight < min_proj_opt:
             return None
         # Sim3 mapping X2(cand camera) = S21(X1(cur camera)):
         # horn gave X2 ~= s R X1 + t, i.e. S21 = (R, t, s) refined.
-        return np.asarray(ref.R), np.asarray(ref.t), float(ref.s)
+        return np.asarray(ref2.R), np.asarray(ref2.t), float(ref2.s)
 
-    def _projection_support(
-        self, kf_id: int, cand: int, R21, t21, s21
-    ) -> int:
-        """Count of guided-projection matches supporting the Sim3
-        (`ORBmatcher::SearchByProjection` Sim3 overload used by the
-        nProjMatches gates, `LoopClosing.cc:633`/`ORBmatcher.cc:1455`):
-        candidate-side map points -> cand camera -> S21^-1 -> KF1 pixels,
-        windowed Hamming match against KF1's features."""
+    def _cov_window_points(self, cand: int, n_cov: int = 5,
+                           cap: int = 4096, exclude: int = -1) -> np.ndarray:
+        """Unique valid map-point ids seen by `cand` and its `n_cov` best
+        covisible keyframes (`LoopClosing.cc:765-789` point cloud).
+        `exclude` (the CURRENT keyframe) is never part of the cloud: the
+        reference filters the current KF's covisible group out at
+        candidate selection (`DetectNBestCandidates` spConnectedKeyFrames)
+        — a cloud containing the query's own points would make the
+        projection gates self-certifying."""
         s = self.store.state
-        cd_j = jnp.asarray(cand)
+        covis = self.store.covisibility_np()
+        nkf = self.store.n_kf
+        row = covis[cand, :nkf].copy()
+        row[cand] = 0
+        if 0 <= exclude < nkf:
+            row[exclude] = 0
+        order = np.argsort(-row)
+        kfs = [cand] + [int(k) for k in order[:n_cov]
+                        if row[k] > 0 and int(k) != exclude]
+        mp = np.asarray(s.kf_mp[jnp.asarray(np.asarray(kfs, np.int32))])
+        fv = np.asarray(s.kf_feat_valid[jnp.asarray(np.asarray(kfs, np.int32))])
+        ids = np.unique(mp[(mp >= 0) & fv])
+        ids = ids[np.asarray(s.mp_valid)[ids]]
+        return ids[:cap]
+
+    def _sim3_projection_matches(
+        self, kf_id: int, point_ids: np.ndarray, R2, t2, R21, t21, s21,
+        radius: float = 8.0, max_dist: int = None,
+    ):
+        """Guided-projection matching of a point cloud through a Sim3
+        into KF1 (`ORBmatcher::SearchByProjection` Sim3 overload,
+        `ORBmatcher.cc:1455`, used by the nProjMatches /
+        nProjOptMatches gates `LoopClosing.cc:806,832`): world points ->
+        the cand camera frame (R2, t2) -> S21^-1 -> KF1 pixels, windowed
+        Hamming match against KF1's features inside `radius`. Returns
+        (match struct indexed by cloud point, projected KF1-frame
+        coords, in-front/in-image mask)."""
+        if max_dist is None:
+            max_dist = matching.TH_HIGH
+        s = self.store.state
         kf_j = jnp.asarray(kf_id)
-        mp2 = np.asarray(s.kf_mp[cd_j])
-        has2 = (mp2 >= 0) & np.asarray(s.kf_feat_valid[cd_j])
-        pid = np.clip(mp2, 0, None)
+        pid = np.asarray(point_ids)
         pts_w = np.asarray(s.mp_pos)[pid]
-        ok = has2 & np.asarray(s.mp_valid)[pid]
-        R2, t2 = np.asarray(s.kf_R[cd_j]), np.asarray(s.kf_t[cd_j])
+        ok = np.asarray(s.mp_valid)[pid]
         X2 = (R2 @ pts_w.T).T + t2
         X1 = (1.0 / s21) * ((X2 - t21) @ R21)  # S21^-1
         ok = ok & (X1[:, 2] > 0.05)
@@ -281,10 +375,10 @@ class LoopCloser:
             jnp.asarray(np.asarray(s.mp_desc)[pid]), jnp.asarray(uv),
             jnp.asarray(ok),
             s.kf_desc[kf_j], s.kf_uv[kf_j], s.kf_feat_valid[kf_j],
-            radius=jnp.asarray(8.0), max_dist=matching.TH_HIGH, ratio=1.0,
+            radius=jnp.asarray(radius), max_dist=max_dist, ratio=1.0,
         )
         m = matching.assign_unique(m, int(s.kf_desc.shape[1]))
-        return int(np.asarray(m.valid).sum())
+        return m, X1, ok
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf_id: int, loop_kf: int, R21, t21, s21):

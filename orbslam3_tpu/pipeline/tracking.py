@@ -758,9 +758,13 @@ class Tracker:
         Tracking then runs on the left camera with mono residuals at
         metric scale: depth enters through single-frame initialization and
         mapping's point creation, which is where the reference's stereo
-        observability lives. (The reference's extra right-camera
-        projection factors are descoped; its own fisheye path also has no
-        rectified `ur` — `mvuRight` stays -1, `Frame.cc:1300`.)"""
+        observability lives. (Right-camera projection factors
+        (`EdgeSE3ProjectXYZToBody`, `OptimizableTypes.h:132`) DO exist in
+        the BA solver — `optim/ba.py` `obs_right` rows, exercised by
+        `tests/test_two_cam.py`; the per-frame pose-only track here uses
+        left-camera residuals only, matching the reference's fisheye
+        frame which also carries no rectified `ur` — `mvuRight` stays
+        -1, `Frame.cc:1300`.)"""
         from orbslam3_tpu.ops import stereo as stereo_ops
 
         c2 = self.camera2

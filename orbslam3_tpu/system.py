@@ -467,6 +467,63 @@ class System:
         rows = self.tracker.reconstructed_trajectory()
         traj_io.save_kitti(path, [r[1] for r in rows], [r[2] for r in rows])
 
+    def save_trajectory_euroc(self, path: str):
+        """Ref `System::SaveTrajectoryEuRoC` (`System.cc:599-645`):
+
+        * select the LARGEST Atlas map (by keyframe count) and export
+          only frames tracked in it (`System.cc:609-621,684`);
+        * re-root so the largest map's first keyframe is the origin
+          (after loop closure / merge it may not be, `System.cc:624-630`);
+        * inertial modes write BODY-frame poses through Tbc
+          (`System.cc:698-703`), pure-visual modes camera-frame.
+
+        The reference's bad-KF parent-chain walk at export
+        (`System.cc:677-682`) is unnecessary here: the tracker re-roots
+        trajectory entries eagerly when their reference KF is culled
+        (`tracking.py` cull re-rooting), so every entry's `ref` is live."""
+        maps = ([self.store] if self.multimap is None
+                else list(self.multimap.atlas.maps))
+        big = max(maps, key=lambda m: int(
+            np.asarray(m.state.kf_valid[: max(m.n_kf, 1)]).sum()))
+        kv = np.asarray(big.state.kf_valid)[: big.n_kf]
+        if not kv.any():
+            open(path, "w").close()
+            return
+        first = int(np.flatnonzero(kv)[0])
+        kf_R = np.asarray(big.state.kf_R)
+        kf_t = np.asarray(big.state.kf_t)
+        # T_w0 of the first KF: new world frame (GetPoseInverse analog).
+        R0wc = kf_R[first].T
+        t0wc = -R0wc @ kf_t[first]
+        tr = self.tracker
+        inertial = tr.imu_calib is not None
+        if inertial:
+            Rbc, tbc = tr.Rbc, tr.tbc
+        rows_ts, rows_R, rows_t = [], [], []
+        for ts, store_e, ref, R_cr, t_cr in tr.trajectory:
+            if store_e is not big:
+                continue
+            if ref >= 0:
+                R_cw = R_cr @ kf_R[ref]
+                t_cw = R_cr @ kf_t[ref] + t_cr
+            else:
+                R_cw, t_cw = R_cr, t_cr
+            # Re-root: Tcw' = Tcw * Twc(first).
+            R_cw2 = R_cw @ R0wc
+            t_cw2 = R_cw @ t0wc + t_cw
+            if inertial:
+                R_bw = Rbc @ R_cw2
+                t_bw = Rbc @ t_cw2 + tbc
+                Rw = R_bw.T
+                rows_R.append(Rw)
+                rows_t.append(-Rw @ t_bw)
+            else:
+                Rw = R_cw2.T
+                rows_R.append(Rw)
+                rows_t.append(-Rw @ t_cw2)
+            rows_ts.append(ts)
+        traj_io.save_euroc(path, rows_ts, rows_R, rows_t)
+
     def save_keyframe_trajectory_tum(self, path: str):
         s = self.store.state
         valid = np.asarray(s.kf_valid)
@@ -476,3 +533,28 @@ class System:
         Rwc = [kf_R[i].T for i in ids]
         twc = [-kf_R[i].T @ kf_t[i] for i in ids]
         traj_io.save_tum(path, self.store.kf_ts[ids], Rwc, twc)
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Ref `System::SaveKeyFrameTrajectoryEuRoC` (`System.cc:722`):
+        largest-map keyframes in id order, EuRoC row format (body frame
+        for inertial sensors)."""
+        maps = ([self.store] if self.multimap is None
+                else list(self.multimap.atlas.maps))
+        big = max(maps, key=lambda m: int(
+            np.asarray(m.state.kf_valid[: max(m.n_kf, 1)]).sum()))
+        s = big.state
+        ids = np.flatnonzero(np.asarray(s.kf_valid)[: big.n_kf])
+        kf_R = np.asarray(s.kf_R)
+        kf_t = np.asarray(s.kf_t)
+        tr = self.tracker
+        Rwl, twl = [], []
+        for i in ids:
+            if tr.imu_calib is not None:
+                R_bw = tr.Rbc @ kf_R[i]
+                t_bw = tr.Rbc @ kf_t[i] + tr.tbc
+                Rwl.append(R_bw.T)
+                twl.append(-R_bw.T @ t_bw)
+            else:
+                Rwl.append(kf_R[i].T)
+                twl.append(-kf_R[i].T @ kf_t[i])
+        traj_io.save_euroc(path, big.kf_ts[ids], Rwl, twl)

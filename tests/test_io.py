@@ -72,3 +72,55 @@ def test_ate_rmse_known_error(rng):
     est = gt + rng.normal(0, 0.01, (100, 3))
     err = ate_rmse(ts, est, ts, gt, with_scale=False)
     assert 0.005 < err < 0.03
+
+
+def test_save_trajectory_euroc(tmp_path, rng):
+    """`System.save_trajectory_euroc` semantics vs `System.cc:599-712`:
+    largest-map selection, first-KF re-rooting, EuRoC row format."""
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops import features as feat
+    from orbslam3_tpu.system import System, Sensor
+
+    params = cam.make_pinhole(100.0, 100.0, 64.0, 48.0)
+    slam = System(
+        Sensor.MONOCULAR, cam.CameraModel.PINHOLE, params, (128, 96),
+        orb_params=feat.OrbParams(n_features=64, n_levels=2),
+        Kmax=8, Pmax=256,
+    )
+    st = slam.store
+    # Two keyframes; the FIRST is deliberately NOT at the origin.
+    R0 = np.asarray(
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    t0 = np.asarray([1.0, 2.0, 3.0], np.float32)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.asarray([0.5, 0.0, 0.0], np.float32)
+    st.state = st.state._replace(
+        kf_R=st.state.kf_R.at[0].set(jnp.asarray(R0)).at[1].set(jnp.asarray(R1)),
+        kf_t=st.state.kf_t.at[0].set(jnp.asarray(t0)).at[1].set(jnp.asarray(t1)),
+        kf_valid=st.state.kf_valid.at[0].set(True).at[1].set(True),
+    )
+    st.n_kf = 2
+    # Frame entries: one per KF (identity relative pose), plus one entry
+    # from a DIFFERENT (smaller) store that must be skipped.
+    I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    slam.tracker.trajectory = [
+        (0.0, st, 0, I, z),
+        (0.1, st, 1, I, z),
+        (0.2, object(), 0, I, z),  # foreign map stand-in
+    ]
+    out = tmp_path / "euroc.txt"
+    slam.save_trajectory_euroc(str(out))
+    rows = [l.split() for l in out.read_text().splitlines()]
+    assert len(rows) == 2 and all(len(r) == 8 for r in rows)
+    # First exported pose is the new origin (first-KF re-rooting).
+    v0 = np.asarray([float(x) for x in rows[0]])
+    np.testing.assert_allclose(v0[1:4], 0.0, atol=1e-6)
+    np.testing.assert_allclose(v0[4:7], 0.0, atol=1e-6)  # identity quat
+    np.testing.assert_allclose(abs(v0[7]), 1.0, atol=1e-6)
+    # Second pose: relative transform kf1 vs kf0 expressed in kf0 frame.
+    T0 = np.eye(4); T0[:3, :3] = R0; T0[:3, 3] = t0
+    T1 = np.eye(4); T1[:3, :3] = R1; T1[:3, 3] = t1
+    Trel = np.linalg.inv(T1 @ np.linalg.inv(T0))  # Twc of frame1 re-rooted
+    v1 = np.asarray([float(x) for x in rows[1]])
+    np.testing.assert_allclose(v1[1:4], Trel[:3, 3], atol=1e-5)
+    slam.shutdown()
