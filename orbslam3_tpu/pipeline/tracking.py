@@ -301,6 +301,19 @@ def _pose_inertial_from_assoc(
     )
 
 
+@jax.jit
+def compute_obs_count(state: st.MapState) -> jnp.ndarray:
+    """(Pmax,) int32 — observation count per map point over all valid
+    keyframes (the quantity behind `KeyFrame::TrackedMapPoints` /
+    `MapPoint::Observations`). One (Kmax*Nf)-row scatter: recompute only
+    when the map version changes, not per frame."""
+    all_mp = state.kf_mp
+    obs_ok = (all_mp >= 0) & state.kf_feat_valid & state.kf_valid[:, None]
+    return jnp.zeros((state.Pmax,), jnp.int32).at[
+        jnp.clip(all_mp, 0)
+    ].add(obs_ok.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("model", "n_levels"))
 def _track_step(
     model: cam.CameraModel,
@@ -315,6 +328,7 @@ def _track_step(
     min_obs,                            # NeedNewKeyFrame nMinObs (device)
     ur=None, bf=0.0, n_levels: int = 8,
     rig=None,  # (params_r, R_rl, t_rl, uv_r, sig2_r, has_r) two-cam rows
+    obs_count=None,  # (Pmax,) cached per-point observation counts
 ):
     """The whole two-stage visual tracking of one frame as ONE device
     program (`Tracking::Track` stages `Tracking.cc:2331,2171,2436`):
@@ -327,6 +341,13 @@ def _track_step(
     real hardware every sync stalls the pipeline), so all accept/reject
     gates are computed here and returned in one small bundle; the host
     makes its state-machine decision after a single fetch.
+
+    `obs_count`: per-point observation counts, recomputed by the caller
+    only when the map changed (`Tracker._obs_count_cached` keyed on
+    `store.change_index`) — the (Kmax*Nf)-row scatter it needs costs more
+    than the rest of the frame when recomputed per frame. The reference
+    reads live observation counts the same way: they only move when
+    LocalMapping runs (`KeyFrame::TrackedMapPoints`, `Tracking.cc:2612`).
     """
     ur_arr = ur if ur is not None else jnp.full(f_cur.uv.shape[0], -1.0)
 
@@ -343,24 +364,44 @@ def _track_step(
     ok_a = have_pred & (n_a >= 20) & (res_a.n_inliers >= 10)
 
     # --- Stage 1b: reference keyframe fallback --------------------------
+    # lax.cond, not speculative execution: when the motion model already
+    # succeeded (the common case), the fallback's BoW-free match + third
+    # pose solve must not burn frame budget — the reference only calls
+    # TrackReferenceKeyFrame when TrackWithMotionModel failed
+    # (`Tracking.cc:1295-1305`).
     rk = jnp.clip(ref_kf, 0)
-    assoc_b, n_b = _track_reference_kf(
-        state.kf_desc[rk], state.kf_feat_valid[rk],
-        state.kf_mp[rk], state.mp_valid, f_cur,
+    Nf_cur = f_cur.uv.shape[0]
+
+    def _run_ref_fallback():
+        assoc_b, n_b = _track_reference_kf(
+            state.kf_desc[rk], state.kf_feat_valid[rk],
+            state.kf_mp[rk], state.mp_valid, f_cur,
+        )
+        res_b = _pose_opt_from_assoc(
+            model, params, R_last, t_last, assoc_b, f_cur,
+            state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf,
+            rig=rig,
+        )
+        ok_b = (ref_kf >= 0) & (n_b >= 15) & (res_b.n_inliers >= 10)
+        return assoc_b, n_b, res_b.R, res_b.t, res_b.inlier, ok_b
+
+    def _skip_ref_fallback():
+        return (
+            jnp.full(Nf_cur, -1, jnp.int32), jnp.asarray(0, jnp.int32),
+            R_last, t_last, jnp.zeros(Nf_cur, bool), jnp.asarray(False),
+        )
+
+    assoc_b, n_b, R_b, t_b, inl_b, ok_b = jax.lax.cond(
+        ok_a, _skip_ref_fallback, _run_ref_fallback
     )
-    res_b = _pose_opt_from_assoc(
-        model, params, R_last, t_last, assoc_b, f_cur,
-        state.mp_pos, state.mp_valid, sigma2_table, ur=ur_arr, bf=bf, rig=rig,
-    )
-    ok_b = (ref_kf >= 0) & (n_b >= 15) & (res_b.n_inliers >= 10)
 
     use_a = ok_a
-    R1 = jnp.where(use_a, res_a.R, res_b.R)
-    t1 = jnp.where(use_a, res_a.t, res_b.t)
+    R1 = jnp.where(use_a, res_a.R, R_b)
+    t1 = jnp.where(use_a, res_a.t, t_b)
     assoc1 = jnp.where(
         use_a,
         jnp.where(res_a.inlier, assoc_a, -1),
-        jnp.where(res_b.inlier, assoc_b, -1),
+        jnp.where(inl_b, assoc_b, -1),
     )
     ok1 = ok_a | ok_b
 
@@ -398,11 +439,8 @@ def _track_step(
     # counts only map points with >= nMinObs observations
     # (`KeyFrame::TrackedMapPoints`, called at `Tracking.cc:2612`).
     new_ref = jnp.where(local_pad[0] >= 0, local_pad[0], jnp.clip(ref_kf, 0))
-    all_mp = state.kf_mp
-    obs_ok = (all_mp >= 0) & state.kf_feat_valid & state.kf_valid[:, None]
-    obs_count = jnp.zeros((state.Pmax,), jnp.int32).at[
-        jnp.clip(all_mp, 0)
-    ].add(obs_ok.astype(jnp.int32))
+    if obs_count is None:
+        obs_count = compute_obs_count(state)
     row = state.kf_mp[new_ref]
     row_ok = (row >= 0) & state.kf_feat_valid[new_ref]
     ref_matches = jnp.sum(row_ok & (obs_count[jnp.clip(row, 0)] >= min_obs))
@@ -682,6 +720,16 @@ class Tracker:
                 self.ref_kf = int(new_ref)
             if self.last_kf_id == slot:
                 self.last_kf_id = int(new_ref)
+
+    def _obs_count_cached(self):
+        """Per-point observation counts, recomputed only when the map
+        version moved (KF insertion / mapping pass / loop correction) —
+        see `compute_obs_count`."""
+        ver = (id(self.store), self.store.change_index)
+        cache = getattr(self, "_obs_cache", None)
+        if cache is None or cache[0] != ver:
+            self._obs_cache = (ver, compute_obs_count(self.store.state))
+        return self._obs_cache[1]
 
     def reconstructed_trajectory(self):
         """(ts, Rwc, twc) per frame, chained through each entry's OWN
@@ -1158,6 +1206,7 @@ class Tracker:
                 jnp.asarray(R_last), jnp.asarray(t_last),
                 self.scale_table, self.sigma2_table, jnp.asarray(self.img_wh),
                 jnp.asarray(3 if self.store.n_kf > 2 else 2, jnp.int32),
+                obs_count=self._obs_count_cached(),
                 ur=jnp.asarray(cur.ur) if cur.ur is not None else None,
                 bf=self.bf, n_levels=self.orb.n_levels,
                 rig=(
@@ -1579,11 +1628,28 @@ class Tracker:
         self.last_kf_id = slot
         self.frames_since_kf = 0
         self.last_kf_frame_id = cur.frame_id
-        slot_j = jnp.asarray(slot)
         preint = self.pre_from_kf
         self.pre_from_kf = None
+        store_before = self.store
         if self.new_kf_callback is not None:
             self.new_kf_callback(slot, initial=False, preint=preint)
+        # The callback may have MERGED the active map into another one
+        # (multimap `_do_merge`): the new keyframe then lives in a
+        # DIFFERENT slot of a different store, and the whole map —
+        # including this keyframe — was re-expressed by the merge Sim3.
+        # `last_kf_id` tracks the migration; refresh the frame's pose
+        # from the transformed keyframe so the trajectory entry recorded
+        # after this method chains in the NEW frame (one stale-frame
+        # entry is enough to poison the replay's least-squares trajectory
+        # alignment by half a meter). Scoped to the migration case: on
+        # the normal path the tracked pose stays authoritative for the
+        # frame (feeding the LBA-refined KF pose back into the motion
+        # model changes reloc-regime behavior, observed in
+        # drive_relocalization).
+        slot_j = jnp.asarray(self.last_kf_id)
+        if self.store is not store_before or self.last_kf_id != slot:
+            cur.R = np.asarray(self.store.state.kf_R[slot_j])
+            cur.t = np.asarray(self.store.state.kf_t[slot_j])
         # Refresh associations after mapping (fusion may replace points).
         cur.mp_assoc = np.asarray(self.store.state.kf_mp[slot_j])
         # Mapping may have (re-)initialized the IMU: sync bias/vel.

@@ -171,21 +171,27 @@ def main():
         import re
         import statistics
 
-        def measure(ns, cores_per, rounds=3):
+        def measure(ns, cores_per, rounds=None):
             """INTERLEAVED topology rounds: each round spawns every `n`
             once (alternating 1-host / 2-host / ...), so slow host-load
             drift hits all topologies equally instead of biasing
             whichever ran later (round-4 verdict Weak #6). Returns per-n
-            lists of ALL rep times across rounds."""
-            times = {n: [] for n in ns}
+            lists of PER-SPAWN MEDIANS (one per round) plus all raw rep
+            times — the median tames the occasional contended rep that
+            dominated the old min/mean estimators' spread."""
+            rounds = rounds or int(os.environ.get("DIST_BA_ROUNDS", 4))
+            med = {n: [] for n in ns}
+            raw = {n: [] for n in ns}
             for _ in range(rounds):
                 for n in ns:
                     _, outs = _spawn(n, bench=True, pin=True,
                                      cores_per=cores_per)
                     m = re.search(r"BENCH_TIMES (\[[^\]]*\])", outs[0])
                     assert m, outs[0][-2000:]
-                    times[n].extend(json.loads(m.group(1)))
-            return times
+                    ts = json.loads(m.group(1))
+                    raw[n].extend(ts)
+                    med[n].append(statistics.median(ts))
+            return med, raw
 
         def stats(ts):
             return {
@@ -196,8 +202,8 @@ def main():
             }
 
         if args.curve:
-            times = measure((1, 2, 4), cores_per=1)
-            s = {n: stats(t) for n, t in times.items()}
+            med, raw = measure((1, 2, 4), cores_per=1)
+            s = {n: stats(t) for n, t in raw.items()}
             print(json.dumps({
                 "ba_s_by_hosts_1core": {str(n): v for n, v in s.items()},
                 "scaling_efficiency_4host_1core":
@@ -209,19 +215,24 @@ def main():
                         "number for the 2-host claim",
             }))
             return
-        times = measure((1, 2), cores_per=2)
-        s1, s2 = stats(times[1]), stats(times[2])
+        med, raw = measure((1, 2), cores_per=2)
+        # Headline: mean of the ROUND-WISE efficiencies (each round pairs
+        # a 1-host and a 2-host spawn measured back-to-back), with their
+        # stdev as the reported uncertainty.
+        effs = [m1 / (2 * m2) for m1, m2 in zip(med[1], med[2])]
+        s1, s2 = stats(raw[1]), stats(raw[2])
         print(json.dumps({
             "ba_s_1host": s1, "ba_s_2host": s2,
-            "scaling_efficiency_2host": round(s1["mean"] / (2 * s2["mean"]), 3),
+            "per_round_medians_1host": [round(t, 3) for t in med[1]],
+            "per_round_medians_2host": [round(t, 3) for t in med[2]],
+            "scaling_efficiency_2host": round(statistics.mean(effs), 3),
+            "eff_stdev": round(statistics.stdev(effs), 3)
+            if len(effs) > 1 else 0.0,
             "scaling_efficiency_2host_min": round(s1["min"] / (2 * s2["min"]), 3),
-            "eff_stdev": round(
-                (s1["mean"] / (2 * s2["mean"]))
-                * ((s1["stdev"] / max(s1["mean"], 1e-9)) ** 2
-                   + (s2["stdev"] / max(s2["mean"], 1e-9)) ** 2) ** 0.5, 3),
             "note": "2 cores per 'host' via taskset; gloo over localhost; "
-                    "mean over interleaved rounds is the headline, min "
-                    "kept for cross-round comparison",
+                    "headline = mean +- stdev of round-wise efficiencies "
+                    "(per-spawn medians, interleaved rounds); min kept "
+                    "for cross-round comparison",
         }))
         return
     procs, outs = _spawn(NPROC, bench=False, pin=False)

@@ -7,10 +7,11 @@ init), so residual scale error means the rig rows or the inertial
 factors aren't constraining the map.
 
 The 16-frame runner test (`test_runners.py::test_tumvi_stereo_vi_fisheye_
-runner`) only proves the wiring; this test and the 600-frame BASELINE.md
-row (4) replay are the at-scale evidence. VIBA2 (15 s post-init) is
-exercised by the 600-frame run; at 240 frames (12 s) this gate reaches
-IMU init + VIBA1.
+runner`) only proves the wiring; this 240-frame test is the in-suite
+at-scale evidence (IMU init + VIBA1 engaged). The longer 600-frame
+replay with VIBA2 engaged is recorded in BASELINE.md row (4) when run
+(`scripts/make_synth_euroc.py --fisheye --frames 600` +
+`run_sequence.py --mode stereo-vi`).
 """
 
 import os
@@ -51,6 +52,7 @@ def test_fisheye_stereo_vi_at_scale(tmp_path):
     m = re.search(r"imu stages: init=(\w+) viba1=(\w+)", log)
     assert m, log[-2000:]
     assert m.group(1) == "True", log[-2000:]
+    assert m.group(2) == "True", log[-2000:]  # VIBA1 must engage at 12 s
 
     m = re.search(r"ATE RMSE: ([0-9.]+) m", log)
     assert m, log[-2000:]
