@@ -414,6 +414,8 @@ def _solve_ba_dense(
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
         cost_l = _robust_cost(chi2, ok, is_st)
+        gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+        inlier_l = ok & (chi2 <= gate)
         Hcc_l, bc_l = _cam_reduce(Jc_w, e_w)
         # Fused point-side scatter: [Jp^T Jp | -Jp^T e] as one (O,12) row.
         pp = jnp.einsum("oij,oik->ojk", Jp_w, Jp_w).reshape(O, 9)
@@ -486,10 +488,10 @@ def _solve_ba_dense(
             Hcc_w = pack[n_s + n_b : n_s + n_b + n_opt * 36].reshape(
                 n_opt, 6, 6)
             cost = pack[-1]
-        return (S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, cost)
+        return (S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, inlier_l, cost)
 
     def damped_step(lin, state, lamb):
-        S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, _ = lin
+        S_und, b_red, Hcc_w, bp, Hpp_inv, Jc_w, Jp_w, _, _ = lin
         cam_R, cam_t, points = state
         damp = lamb * jnp.abs(Hcc_w) * eye6[None] + 1e-8 * eye6[None]
         S_g = S_und.at[diag_idx, :, diag_idx, :].add(damp)
@@ -556,12 +558,10 @@ def _solve_ba_dense(
     _, _, base, lin, _, _ = carry
     cam_R, cam_t, points = base
     cost = lin[-1]
-    _, _, _, chi2, ok, is_st = _linearize(
-        model, params, bf, cam_R, cam_t, points, prob,
-        jnp.ones_like(prob.obs_valid), cam2=cam2,
-    )
-    gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
-    inlier = ok & (chi2 <= gate)
+    # The inlier mask at the ACCEPTED base state rides in the LM carry
+    # (computed by the same linearization whose cost accepted the step) —
+    # re-linearizing here would duplicate a full residual/Jacobian pass.
+    inlier = lin[-2]
     return BAResult(cam_R=cam_R, cam_t=cam_t, points=points,
                     obs_inlier=inlier, cost=cost)
 
