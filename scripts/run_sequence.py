@@ -63,7 +63,7 @@ def main():
                          "LocalMapping-thread overlap, System.cc:138)")
     ap.add_argument("--vocab", default=None,
                     help=".bin (reference-binary) or .npz vocabulary; "
-                         "default: the shipped assets/ORBvoc_synth.bin")
+                         "default: the shipped assets/ORBvoc_synth_100k.bin")
     ap.add_argument("--train-vocab", action="store_true",
                     help="ignore the shipped artifact and train an "
                          "in-sequence vocabulary (legacy behavior)")
@@ -150,7 +150,13 @@ def main():
         # scripts/train_vocabulary.py on generator worlds disjoint from
         # every dataset seed), else --train-vocab in-sequence fallback.
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        default_bin = os.path.join(repo, "assets", "ORBvoc_synth.bin")
+        # Default artifact: the round-5 k=10 depth-5 tree (97k words,
+        # 10x round 4's) — measured precision@3 0.958 vs 0.879 for the
+        # 10k tree at 255 keyframes across 3 visually similar rooms
+        # (scripts/bench_place_recognition.py), same 1.0 recall@3.
+        default_bin = os.path.join(repo, "assets", "ORBvoc_synth_100k.bin")
+        if not os.path.exists(default_bin):
+            default_bin = os.path.join(repo, "assets", "ORBvoc_synth.bin")
         voc = None
         vocab_path = args.vocab
         if vocab_path is None and not args.train_vocab and os.path.exists(default_bin):
