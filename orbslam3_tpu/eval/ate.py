@@ -70,6 +70,16 @@ def ate_rmse(
         return float("inf")
     est = est_pos[ia]
     gt = gt_pos[ib]
+    # Entries logged during tracking loss / dead-reckoning can be
+    # non-finite; one such row makes the Umeyama SVD diverge (observed:
+    # LinAlgError ending a 700-frame replay at the eval step). Score the
+    # finite subset — the reference's evaluation likewise only scores
+    # frames with a localized pose (`mlbLost` skip, `System.cc:657`).
+    finite = np.isfinite(est).all(axis=1) & np.isfinite(gt).all(axis=1)
+    if finite.sum() < 3:
+        return float("inf")
+    est = est[finite]
+    gt = gt[finite]
     s, R, t = umeyama(est, gt, with_scale)
     aligned = (s * (R @ est.T)).T + t
     err = np.linalg.norm(aligned - gt, axis=1)

@@ -115,24 +115,46 @@ def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active,
     # Point: dXc/dXw = Rc
     Jp = jnp.einsum("oij,ojk->oik", JXc, Rc)
 
-    ok = active & prob.obs_valid & (z > 1e-3) & prob.point_valid[prob.obs_point]
+    # Rows whose projection overflowed (huge/behind-camera points) carry
+    # inf/NaN Jacobians; excluding them via a zero WEIGHT is not enough
+    # (0 * inf = NaN propagates into every segment reduction), so gate
+    # with `where` selects on an explicit finiteness mask.
+    finite = (
+        jnp.isfinite(e).all(axis=-1)
+        & jnp.isfinite(Jc).all(axis=(-2, -1))
+        & jnp.isfinite(Jp).all(axis=(-2, -1))
+    )
+    ok = (active & prob.obs_valid & (z > 1e-3)
+          & prob.point_valid[prob.obs_point] & finite)
     inv_s2 = 1.0 / prob.obs_sigma2
     chi2 = jnp.sum(e * e, axis=-1) * inv_s2
     delta2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
     w = jnp.where(ok, inv_s2 * lm.huber_weight(chi2, delta2), 0.0)
     # Fixed cameras contribute to points but not to camera updates.
-    cam_free = ~prob.cam_fixed[prob.obs_cam]
+    cam_free = ~prob.cam_fixed[prob.obs_cam] & ok
     sw = jnp.sqrt(w)[:, None, None]
-    Jc_w = Jc * sw * cam_free[:, None, None]
-    Jp_w = Jp * sw
-    e_w = e * jnp.sqrt(w)[:, None]
+    Jc_w = jnp.where(cam_free[:, None, None], Jc * sw, 0.0)
+    Jp_w = jnp.where(ok[:, None, None], Jp * sw, 0.0)
+    e_w = jnp.where(ok[:, None], e * jnp.sqrt(w)[:, None], 0.0)
     return e_w, Jc_w, Jp_w, chi2, ok, is_stereo
 
 
-def _robust_cost(chi2, ok, is_stereo):
+def _robust_cost(chi2, ok, is_stereo, struct_ok=None):
+    """Huber-robust total cost. `struct_ok`: structurally valid
+    observations (valid obs row + valid point) — rows that are
+    structural but NOT in `ok` were invalidated by the CURRENT state
+    (behind-camera, overflowed projection) and must contribute a LARGE
+    constant, not zero: otherwise a candidate bad enough to invalidate
+    every observation scores cost 0 and wins the LM accept test
+    (observed: a non-PD Schur solve emitted NaN poses, every chi2 went
+    NaN -> ok all-False -> cost 0.0 -> accepted -> NaN written into the
+    live map)."""
     d2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
     rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
-    return jnp.sum(jnp.where(ok, rho, 0.0))
+    cost = jnp.sum(jnp.where(ok, rho, 0.0))
+    if struct_ok is not None:
+        cost = cost + 1e3 * jnp.sum((struct_ok & ~ok).astype(jnp.float32))
+    return cost
 
 
 def auto_dense_schur(C: int, P: int, hbm_budget_bytes: int = 4 << 30) -> bool:
@@ -284,7 +306,8 @@ def solve_ba(
             model, params, bf, cam_R, cam_t, points, prob,
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
-        return _allreduce(_robust_cost(chi2, ok, is_st))
+        return _allreduce(_robust_cost(chi2, ok, is_st,
+            struct_ok=prob.obs_valid & prob.point_valid[prob.obs_point]))
 
     state, cost = lm.lm_loop(
         (prob.cam_R, prob.cam_t, prob.points), cost_fn, gn_step, iters
@@ -396,7 +419,8 @@ def _solve_ba_dense(
             opc = int(obs_per_cam)
             A = jnp.concatenate([Jc_w, e_w[:, :, None]], axis=-1)  # (O,3,7)
             A = A.reshape(C, opc * 3, 7)
-            H7 = jnp.einsum("cki,ckj->cij", A, A)  # (C,7,7)
+            H7 = jnp.einsum("cki,ckj->cij", A, A,
+                            precision=jax.lax.Precision.HIGHEST)  # (C,7,7)
             return H7[:, :6, :6], -H7[:, :6, 6]
         cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)  # (O, C)
         Hcc = (cam_1h.T @ jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)
@@ -413,7 +437,8 @@ def _solve_ba_dense(
             model, params, bf, cam_R, cam_t, points, prob,
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
-        cost_l = _robust_cost(chi2, ok, is_st)
+        cost_l = _robust_cost(chi2, ok, is_st,
+            struct_ok=prob.obs_valid & prob.point_valid[prob.obs_point])
         gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
         inlier_l = ok & (chi2 <= gate)
         Hcc_l, bc_l = _cam_reduce(Jc_w, e_w)
@@ -456,8 +481,15 @@ def _solve_ba_dense(
         else:
             B = B_l
         # S_cross = B^T-contract-(p,i)-B: one MXU dot_general, no copies.
+        # Precision HIGHEST (f32 accumulation, not the TPU default's
+        # truncated passes): the reduced system is the DIFFERENCE of two
+        # large similar terms, and mantissa loss here made S indefinite
+        # on ill-conditioned low-texture windows — the Cholesky then
+        # returned NaN poses into the live map (observed in the round-5
+        # drift-lap replay; the same solve is clean on CPU).
         S_cross = jax.lax.dot_general(
-            B, B, (((0, 2), (0, 2)), ((), ()))
+            B, B, (((0, 2), (0, 2)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
         )  # (n,6,n,6)
         y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
         # b_red = bc - W^T y0 at observation level (no dense W).
@@ -508,6 +540,11 @@ def _solve_ba_dense(
             S + 1e-7 * jnp.eye(n_opt * 6, dtype=dtype), lower=True)
         dc_w = jax.scipy.linalg.cho_solve(chol, rhs.reshape(-1)).reshape(
             n_opt, 6)
+        # Self-healing on a failed factorization (S not PD despite
+        # damping — starved windows in low-texture regimes): a zero step
+        # is a candidate that cannot be accepted, so the LM loop raises
+        # lambda and re-damps instead of writing NaN poses into the map.
+        dc_w = jnp.where(jnp.isfinite(dc_w).all(), dc_w, 0.0)
         dc_w = jnp.where(fixed_w[:, None], 0.0, dc_w)
         dc = jnp.zeros((C, 6), dtype).at[:n_opt].set(dc_w)
         # Back-substitute points at observation level:
