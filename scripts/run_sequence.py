@@ -51,7 +51,8 @@ def main():
     ap.add_argument("--timestamps", default=None, help="EuRoC timestamp list")
     ap.add_argument("--out", default="trajectory.txt")
     ap.add_argument("--kf-out", default="kf_trajectory.txt")
-    ap.add_argument("--traj-format", choices=["tum", "kitti"], default="tum")
+    ap.add_argument("--traj-format", choices=["tum", "kitti", "euroc"],
+                    default="tum")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--kmax", type=int, default=512)
     ap.add_argument("--pmax", type=int, default=65536)
@@ -262,9 +263,16 @@ def main():
     ts_est, pos_est = slam.get_trajectory()
     if args.traj_format == "kitti":
         slam.save_trajectory_kitti(args.out)
+    elif args.traj_format == "euroc":
+        # `System::SaveTrajectoryEuRoC` semantics: largest-map selection,
+        # first-KF re-rooting, body frame for inertial (System.cc:599).
+        slam.save_trajectory_euroc(args.out)
     else:
         slam.save_trajectory_tum(args.out)
-    slam.save_keyframe_trajectory_tum(args.kf_out)
+    if args.traj_format == "euroc":
+        slam.save_keyframe_trajectory_euroc(args.kf_out)
+    else:
+        slam.save_keyframe_trajectory_tum(args.kf_out)
     print(f"trajectories -> {args.out}, {args.kf_out}")
 
     if gt is not None:
