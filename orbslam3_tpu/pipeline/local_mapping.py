@@ -54,6 +54,8 @@ FIXED = int(_os.environ.get("ORBSLAM3_TPU_LBA_FIXED", 128))
 # Per-camera observation slots after validity compaction (see local_ba):
 # every (O)-sized solver kernel runs at obs_cap/Nf of the raw row count.
 OBS_CAP = int(_os.environ.get("ORBSLAM3_TPU_LBA_OBS_CAP", 768))
+# Chi2-driven LM early stop (relative cost decrease); 0 disables.
+LBA_TOL = float(_os.environ.get("ORBSLAM3_TPU_LBA_TOL", 1e-3)) or None
 
 
 def lba_caps(Kmax: int):
@@ -124,11 +126,19 @@ def triangulate_pair(
     # einsums. Near-infinity points where the normal matrix degenerates
     # produce garbage positions that the parallax/chi2/cheirality gates
     # below reject, exactly as they reject the SVD solution's.
-    A3 = A[..., :3]
-    a4 = A[..., 3]
-    N3 = jnp.einsum("nki,nkj->nij", A3, A3)
-    brhs = -jnp.einsum("nki,nk->ni", A3, a4)
-    Xw = jnp.einsum("nij,nj->ni", lm.inv3x3(N3), brhs)
+    if _os.environ.get("ORBSLAM3_TPU_TRI_SVD") == "1":  # A/B fallback
+        _, _, vt = jnp.linalg.svd(A)
+        Xh = vt[..., -1, :]
+        wh = Xh[..., 3:4]
+        Xw = Xh[..., :3] / jnp.where(jnp.abs(wh) < 1e-12, 1e-12, wh)
+    else:
+        A3 = A[..., :3]
+        a4 = A[..., 3]
+        N3 = jnp.einsum("nki,nkj->nij", A3, A3,
+                        precision=jax.lax.Precision.HIGHEST)
+        brhs = -jnp.einsum("nki,nk->ni", A3, a4,
+                           precision=jax.lax.Precision.HIGHEST)
+        Xw = jnp.einsum("nij,nj->ni", lm.inv3x3(N3), brhs)
 
     # Gates.
     Xc1 = lie.se3_apply(R1, t1, Xw)
@@ -285,7 +295,8 @@ def _fuse_batch(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("model", "iters", "pcg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "iters", "pcg_iters", "obs_cap"))
 def local_ba(
     model: cam.CameraModel,
     params: jnp.ndarray,
@@ -296,6 +307,7 @@ def local_ba(
     bf: float = 0.0,
     iters: int = 8,
     pcg_iters: int = 40,
+    obs_cap: int | None = None,
 ):
     """Assemble + solve the local BA problem (`Optimizer::
     LocalBundleAdjustment` `Optimizer.cc:1811`). Returns updated state
@@ -326,7 +338,12 @@ def local_ba(
     # window observations drop the overflow (slot-order tail); at the
     # production Nf=1024 / ~600-feature replays this is empty.
     Nf = state.Nf
-    obs_cap = min(OBS_CAP, Nf)
+    # Sensor-dependent compaction (round-5 A/B on the 600-frame stereo
+    # replay): dropping the valid-obs tail costs mono nothing (config-1
+    # ATE unchanged at 2.6 cm) but stereo 2x ATE (7.4 -> 3.7 cm at full
+    # Nf) — stereo rows carry the metric constraints, so stereo-like
+    # callers pass obs_cap=Nf and mono keeps the throughput cap.
+    obs_cap = min(OBS_CAP, Nf) if obs_cap is None else min(obs_cap, Nf)
     kf_mp_w = state.kf_mp[ids]  # (C,Nf)
     feat_ok_w = state.kf_feat_valid[ids]
     valid_w = (
@@ -379,7 +396,7 @@ def local_ba(
                           dense_schur=True,
                           n_opt_prefix=window_ids.shape[0],
                           obs_per_cam=obs_cap,
-                          early_stop_tol=1e-3)
+                          early_stop_tol=LBA_TOL)
 
     # Write back: window poses + compacted window points.
     Wn = window_ids.shape[0]
@@ -493,6 +510,7 @@ class LocalMapper:
         self.img_wh = np.asarray(img_wh, np.float32)
         self.store = store
         self.bf = bf
+        self.stereo_like = bf > 0  # refined by System (covers rgbd/rig)
         self.sigma2_table = jnp.asarray(feat.sigma2(orb_params))
         self.scale_table = jnp.asarray(feat.scale_factors(orb_params))
         self.focal = float(params[0])
@@ -867,6 +885,7 @@ class LocalMapper:
             self.model, self.params, self.store.state,
             jnp.asarray(win_pad), jnp.asarray(fix_pad), self.sigma2_table,
             bf=self.bf,
+            obs_cap=self.store.state.Nf if self.stereo_like else None,
         )
         self.store.state = new_state
         self.store.bump()
@@ -1268,6 +1287,7 @@ class LocalMapper:
             self.model, self.params, self.store.state,
             jnp.asarray(win), jnp.asarray(fix), self.sigma2_table,
             bf=self.bf, iters=12,
+            obs_cap=self.store.state.Nf if self.stereo_like else None,
         )
         self.store.state = new_state
 

@@ -67,6 +67,13 @@ class System:
             imu_calib=imu_calib if inertial else None,
             mono=sensor == Sensor.IMU_MONOCULAR,
         )
+        # Metric-depth sensors keep EVERY observation in the local BA
+        # (round-5 A/B: dropping the valid-obs tail cost the 600-frame
+        # stereo replay 2x ATE while mono was unaffected — stereo rows
+        # carry the metric constraints). Covers rectified stereo, RGB-D,
+        # and the two-camera fisheye rig (bf == 0 there).
+        self.mapper.stereo_like = (
+            self.tracker.is_stereo_like or camera2 is not None)
         self.mapper.tracker = self.tracker
         self.tracker.new_kf_callback = self._on_new_keyframe
         self.tracker.anomaly_cb = self._on_timestamp_anomaly
