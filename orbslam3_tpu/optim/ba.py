@@ -115,32 +115,44 @@ def _linearize(model, params, bf, cam_R, cam_t, points, prob: BAProblem, active,
     # Point: dXc/dXw = Rc
     Jp = jnp.einsum("oij,ojk->oik", JXc, Rc)
 
-    # Rows whose projection overflowed (huge/behind-camera points) carry
-    # inf/NaN Jacobians; excluding them via a zero WEIGHT is not enough
-    # (0 * inf = NaN propagates into every segment reduction), so gate
-    # with `where` selects on an explicit finiteness mask.
-    finite = (
-        jnp.isfinite(e).all(axis=-1)
-        & jnp.isfinite(Jc).all(axis=(-2, -1))
-        & jnp.isfinite(Jp).all(axis=(-2, -1))
-    )
-    ok = (active & prob.obs_valid & (z > 1e-3)
-          & prob.point_valid[prob.obs_point] & finite)
+    # NaN safety, kept OFF the hot elementwise path (round-5 profile:
+    # full-tensor isfinite().all() masks over Jc/Jp cost ~4 ms per
+    # linearize at production shape — ~45% of a whole LM iteration — by
+    # breaking XLA's elementwise fusion with three multi-axis
+    # reductions). A NaN/overflowed CANDIDATE state only needs to be
+    # impossible to ACCEPT, not scrubbed row-by-row:
+    #  * the row mask takes finiteness from chi2 alone (already a
+    #    per-row reduction of e), so poisoned rows leave `ok`;
+    #  * `_robust_cost` charges every structurally-valid row outside
+    #    `ok` a large constant, so an all-NaN candidate scores worst,
+    #    not 0 — the LM accept test rejects it;
+    #  * the dense solver zeroes a non-finite Newton step (self-healing
+    #    below), so a poisoned reduced system yields a no-op candidate
+    #    rather than NaN poses.
+    # Under that accept-gate invariant every state the LM loop ever
+    # keeps is finite, and w=0 (not a where-select) suffices for the
+    # weighted tensors: J rows are finite whenever e is — both overflow
+    # together, and z in (0, 1e-3] gives huge-but-finite fx/z.
     inv_s2 = 1.0 / prob.obs_sigma2
     chi2 = jnp.sum(e * e, axis=-1) * inv_s2
+    ok = (active & prob.obs_valid & (z > 1e-3)
+          & prob.point_valid[prob.obs_point] & jnp.isfinite(chi2))
     delta2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
     w = jnp.where(ok, inv_s2 * lm.huber_weight(chi2, delta2), 0.0)
     # Fixed cameras contribute to points but not to camera updates.
-    cam_free = ~prob.cam_fixed[prob.obs_cam] & ok
+    cam_free = ~prob.cam_fixed[prob.obs_cam]
     sw = jnp.sqrt(w)[:, None, None]
-    Jc_w = jnp.where(cam_free[:, None, None], Jc * sw, 0.0)
-    Jp_w = jnp.where(ok[:, None, None], Jp * sw, 0.0)
-    e_w = jnp.where(ok[:, None], e * jnp.sqrt(w)[:, None], 0.0)
+    Jc_w = Jc * sw * cam_free[:, None, None]
+    Jp_w = Jp * sw
+    # e_w is (O,3) — an elementwise isfinite select here is ~free and
+    # keeps the gradient side clean even for 0*inf rows.
+    e_hw = e * jnp.sqrt(w)[:, None]
+    e_w = jnp.where(jnp.isfinite(e_hw), e_hw, 0.0)
     return e_w, Jc_w, Jp_w, chi2, ok, is_stereo
 
 
-def _robust_cost(chi2, ok, is_stereo, struct_ok=None):
-    """Huber-robust total cost. `struct_ok`: structurally valid
+def _robust_cost(chi2, ok, is_stereo, n_struct=None):
+    """Huber-robust total cost. `n_struct`: count of structurally valid
     observations (valid obs row + valid point) — rows that are
     structural but NOT in `ok` were invalidated by the CURRENT state
     (behind-camera, overflowed projection) and must contribute a LARGE
@@ -152,8 +164,12 @@ def _robust_cost(chi2, ok, is_stereo, struct_ok=None):
     d2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
     rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     cost = jnp.sum(jnp.where(ok, rho, 0.0))
-    if struct_ok is not None:
-        cost = cost + 1e3 * jnp.sum((struct_ok & ~ok).astype(jnp.float32))
+    if n_struct is not None:
+        # ok is a subset of the structural rows, so |struct & ~ok| =
+        # n_struct - |ok|; n_struct is state-independent and hoisted out
+        # of the LM loop by the callers (a per-iteration gather of
+        # point_valid over O rows measurably dragged the solve).
+        cost = cost + 1e3 * (n_struct - jnp.sum(ok.astype(jnp.float32)))
     return cost
 
 
@@ -300,14 +316,17 @@ def solve_ba(
         t_new = jnp.where(prob.cam_fixed[:, None], cam_t, t_new)
         return (R_new, t_new, points + dp)
 
+    n_struct = jnp.sum(
+        (prob.obs_valid & prob.point_valid[prob.obs_point])
+        .astype(jnp.float32))
+
     def cost_fn(state):
         cam_R, cam_t, points = state
         _, _, _, chi2, ok, is_st = _linearize(
             model, params, bf, cam_R, cam_t, points, prob,
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
-        return _allreduce(_robust_cost(chi2, ok, is_st,
-            struct_ok=prob.obs_valid & prob.point_valid[prob.obs_point]))
+        return _allreduce(_robust_cost(chi2, ok, is_st, n_struct=n_struct))
 
     state, cost = lm.lm_loop(
         (prob.cam_R, prob.cam_t, prob.points), cost_fn, gn_step, iters
@@ -395,6 +414,11 @@ def _solve_ba_dense(
     fixed = prob.cam_fixed
     fixed_w = fixed[:n_opt]  # dynamic-fixed inside the window prefix
     obs_shared = axis_name is not None and not point_axis_local
+    # State-independent: computed once, reused by every LM iteration's
+    # accept cost (see _robust_cost).
+    n_struct = jnp.sum(
+        (prob.obs_valid & prob.point_valid[prob.obs_point])
+        .astype(jnp.float32))
 
     # A (point, camera) pair holds AT MOST ONE observation (a map point
     # occupies one feature slot per keyframe — add_keyframe/fuse Replace
@@ -419,8 +443,7 @@ def _solve_ba_dense(
             opc = int(obs_per_cam)
             A = jnp.concatenate([Jc_w, e_w[:, :, None]], axis=-1)  # (O,3,7)
             A = A.reshape(C, opc * 3, 7)
-            H7 = jnp.einsum("cki,ckj->cij", A, A,
-                            precision=jax.lax.Precision.HIGHEST)  # (C,7,7)
+            H7 = jnp.einsum("cki,ckj->cij", A, A)  # (C,7,7)
             return H7[:, :6, :6], -H7[:, :6, 6]
         cam_1h = jax.nn.one_hot(prob.obs_cam, C, dtype=dtype)  # (O, C)
         Hcc = (cam_1h.T @ jnp.einsum("oij,oik->ojk", Jc_w, Jc_w)
@@ -437,8 +460,7 @@ def _solve_ba_dense(
             model, params, bf, cam_R, cam_t, points, prob,
             jnp.ones_like(prob.obs_valid), cam2=cam2,
         )
-        cost_l = _robust_cost(chi2, ok, is_st,
-            struct_ok=prob.obs_valid & prob.point_valid[prob.obs_point])
+        cost_l = _robust_cost(chi2, ok, is_st, n_struct=n_struct)
         gate = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
         inlier_l = ok & (chi2 <= gate)
         Hcc_l, bc_l = _cam_reduce(Jc_w, e_w)
@@ -489,8 +511,7 @@ def _solve_ba_dense(
         # drift-lap replay; the same solve is clean on CPU).
         S_cross = jax.lax.dot_general(
             B, B, (((0, 2), (0, 2)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (n,6,n,6)
+            )  # (n,6,n,6)
         y0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
         # b_red = bc - W^T y0 at observation level (no dense W).
         v = jnp.einsum("oij,oj->oi", Jp_w, y0[prob.obs_point])  # (O,3)
